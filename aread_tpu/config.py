@@ -1,0 +1,120 @@
+"""Typed configuration.
+
+Keeps the reference's knob names (main.py:14-38, config.py) so runs are
+directly comparable: lr, bs, epoch, embed_dim, wd, early_stop, update_lr,
+aug_ratio, warm_up_interval, regroup_interval, regroup_update_step,
+regroup_eval_step, candidate_mask_num, random_modify_sigma,
+init_active_percent, group_strategy, seq_maxlen, itemid_all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+# Static dataset constants pinned by the reference config.py
+ITEMID_ALL = 1368287  # config.py:7 — amazon item vocab incl. pad row
+SEQ_MAXLEN = 5  # config.py:8
+
+DOMAIN_SIZE: Dict[str, Tuple[int, ...]] = {  # config.py:59-65
+    "amazon": (69360, 282546, 776105, 3001846, 88496, 449031, 2859592, 1893,
+               1437340, 16454, 601698, 1802, 2416380, 197170, 202176, 6931,
+               317131, 132650, 602500, 585227, 845268, 1107407, 997451,
+               623565, 44843),
+    "aliccp": (2695782, 1433175, 925817, 584726, 461755, 358265, 166869,
+               113621, 78692, 65313, 54483, 45808, 40975, 37939, 34079,
+               31703, 29551, 27084, 25027, 23464, 21764, 19857, 18390,
+               16712, 15852, 14914, 13653, 12265, 11179, 9760),
+}
+
+DOMAIN2GROUP: Dict[str, Dict[str, Tuple[int, ...]]] = {  # config.py:67-74
+    "amazon": {
+        "dcn_3groups_kl": (0, 1, 0, 2, 2, 1, 1, 1, 1, 2, 1, 1, 1, 0, 2, 1, 1,
+                           1, 1, 0, 1, 1, 1, 1, 1),
+    },
+    "aliccp": {
+        "dcn_3groups_kl": (1, 0, 1, 0, 0, 0, 0, 0, 0, 2, 1, 0, 0, 0, 1, 2, 1,
+                           0, 0, 0, 2, 0, 0, 2, 2, 2, 1, 1, 1, 1),
+    },
+}
+
+DOMAIN_POSITIVE_LABEL = (  # config.py:17-19 (amazon)
+    35801, 144419, 390519, 1505239, 46542, 205831, 1315090, 964, 701666,
+    10261, 320500, 914, 1232366, 103986, 91991, 3097, 163525, 68118, 309269,
+    288912, 433660, 554954, 522193, 319880, 20878)
+
+
+@dataclasses.dataclass
+class Config:
+    """Run configuration (reference main.py argparse + config.py globals)."""
+
+    model: str = "aread"
+    dataset_name: str = "aliccp"
+    base_model: str = "mmoe"
+    seed: int = 2000
+    lr: float = 1e-3
+    bs: int = 1024
+    epoch: int = 10
+    embed_dim: int = 32
+    wd: float = 1e-8
+    early_stop: int = 2
+    seq_maxlen: int = SEQ_MAXLEN
+    itemid_all: int = ITEMID_ALL
+    group_strategy: str = "dcn_3groups_kl"
+    domain_filter: Optional[Sequence[int]] = None
+    is_evaluate_multi_domain: bool = True
+    prepare2train_month: int = 12
+
+    # AREAD / HEMP (main.py:29-37)
+    update_lr: float = 1e-2
+    aug_ratio: float = 0.1
+    warm_up_interval: int = 100
+    regroup_interval: int = 2000
+    regroup_update_step: int = 5
+    regroup_eval_step: int = 5
+    candidate_mask_num: int = 10
+    random_modify_sigma: float = 0.2
+    init_active_percent: float = 0.7
+
+    # model hyper-params (config.py:21-57)
+    mlp_dims: Tuple[int, ...] = (256, 128, 64)
+    tower_dims: Tuple[int, ...] = (256, 128, 64, 32)
+    use_atten: bool = True
+    atten_embed_dim: int = 64
+    att_layer_num: int = 3
+    att_head_num: int = 2
+    att_res: bool = True
+    use_dcn: bool = True
+    n_cross_layers: int = 3
+    mmoe_n_expert: int = 4
+    mmoe_expert_dims: Tuple[int, ...] = (256, 128, 64)
+    mmoe_tower_dims: Tuple[int, ...] = (64, 32)
+    ple_n_expert_specific: int = 2
+    ple_n_expert_shared: int = 2
+    ple_expert_dims: Tuple[Tuple[int, ...], ...] = ((256, 128), (64,))
+    ple_tower_dims: Tuple[int, ...] = (64, 32)
+    sei_dims: Tuple[int, ...] = (64, 32)
+    dlm_iters: int = 3
+    aread_tower_dims: Tuple[Tuple[int, ...], ...] = ((64, 32), (32, 16), (16, 8))
+    dropout: float = 0.2
+
+    # MAMDR (reference reads these but never defines them — run.py:984,991;
+    # we define working defaults so the MAMDR path is actually runnable)
+    mamdr_meta_lr: float = 0.1
+    mamdr_aux_sample_num: int = 2
+
+    # paths
+    data_path: str = "dataset"
+    save_path: str = "save"
+
+    # TPU-native knobs (new)
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    mesh_data: int = 1  # data-parallel axis size
+    mesh_model: int = 1  # model-parallel (embedding row-shard) axis size
+
+    def domain2group(self) -> Tuple[int, ...]:
+        return DOMAIN2GROUP[self.dataset_name][self.group_strategy]
+
+    @property
+    def n_tower(self) -> int:
+        return max(self.domain2group()) + 1

@@ -1,0 +1,292 @@
+"""Data loading, splitting and batching.
+
+Reproduces the reference's L2 data layer (run.py:105-375):
+  * column selection per dataset, history-seq parsing with pad id
+    ``itemid_all`` and last-``seq_maxlen`` truncation (run.py:105-111);
+  * split by timestamp quantiles 0.9/0.95 (amazon) or the ``train_tag``
+    column (aliccp/cloudtheme) (run.py:141-144, 180-182);
+  * one-hot dims inferred as column max+1 over the full file, with the
+    amazon itemid dim pinned to ``itemid_all`` (run.py:154-157);
+  * train-frequency domain weights for the weighted mean AUC
+    (run.py:294-297, 344-346);
+  * domain-grouped batching: one stream per domain, a shuffled
+    ``domain_batch_seq`` with ceil(n_d/bs) entries per domain so every
+    batch is single-domain (run.py:310-353), plus cyclic per-domain
+    iterators with restart (run.py:551-575).
+
+TPU-first: XLA requires static shapes, so every batch is exactly
+``batch_size`` rows — ragged final batches are padded and carry a
+``valid`` float mask consumed by the loss, metrics and BatchNorm.
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from aread_tpu.models.base import FeatureSpec
+
+AMAZON_FEATURES = [
+    "itemid", "weekday", "domain", "sales_chart", "sales_rank", "brand", "price",
+]
+AMAZON_SEQ_FEATURES = ["user_pos_6month_seq", "user_neg_6month_seq"]
+ALICCP_FEATURES = [
+    "userid", "121", "122", "124", "125", "126", "127", "128", "129", "itemid",
+    "domain", "207", "210", "216", "508", "509", "702", "853", "109_14",
+    "110_14", "127_14", "150_14", "301",
+]
+CLOUDTHEME_FEATURES = ["userid", "itemid", "domain", "leaf_cate_id", "cate_level1_id"]
+
+
+def _parse_seq(seq_str: str, maxlen: int, pad_value: int) -> List[int]:
+    seq = ast.literal_eval(seq_str) if isinstance(seq_str, str) else list(seq_str)
+    if len(seq) >= maxlen:
+        return list(seq[-maxlen:])
+    return list(seq) + [pad_value] * (maxlen - len(seq))
+
+
+@dataclasses.dataclass
+class SplitData:
+    """Tensorized (numpy) train/valid/test splits plus metadata."""
+
+    train_x: np.ndarray
+    train_y: np.ndarray
+    valid_x: np.ndarray
+    valid_y: np.ndarray
+    test_x: np.ndarray
+    test_y: np.ndarray
+    spec: FeatureSpec
+    domain_cnt_weight: np.ndarray
+    n_domain: int
+    aug_train_x: Optional[np.ndarray] = None
+    aug_train_y: Optional[np.ndarray] = None
+
+
+def dataset_columns(dataset_name: str, history: bool = True, only_id: bool = False):
+    if only_id:
+        return ["userid", "itemid", "domain"], [], "label" if dataset_name == "amazon" else "click"
+    if dataset_name == "amazon":
+        return list(AMAZON_FEATURES), (list(AMAZON_SEQ_FEATURES) if history else []), "label"
+    if dataset_name == "aliccp":
+        return list(ALICCP_FEATURES), [], "click"
+    if dataset_name == "cloudtheme":
+        return list(CLOUDTHEME_FEATURES), [], "click"
+    raise ValueError(f"unknown dataset {dataset_name}")
+
+
+def tensorize(df: pd.DataFrame, one_hot_cols: Sequence[str], seq_cols: Sequence[str],
+              label_col: str, seq_maxlen: int, pad_value: int) -> Tuple[np.ndarray, np.ndarray]:
+    """DataFrame -> (X int32 [N, n_onehot + n_seq*maxlen], y int8 [N])
+    mirroring save_tensor_from_data (run.py:237-265)."""
+    parts = [df[list(one_hot_cols)].to_numpy(dtype=np.int64)]
+    for col in seq_cols:
+        seqs = df[col].map(lambda s: _parse_seq(s, seq_maxlen, pad_value))
+        parts.append(np.stack(seqs.to_numpy()).astype(np.int64))
+    x = np.concatenate(parts, axis=1).astype(np.int32)
+    y = df[label_col].to_numpy(dtype=np.int8)
+    return x, y
+
+
+def load_split_data(
+    path: str,
+    dataset_name: str,
+    seq_maxlen: int = 5,
+    itemid_all: Optional[int] = None,
+    aug_path: Optional[str] = None,
+    domain_filter: Optional[Sequence[int]] = None,
+    history: bool = True,
+    only_id: bool = False,
+) -> SplitData:
+    one_hot_cols, seq_cols, label_col = dataset_columns(dataset_name, history, only_id)
+    split_col = "timestamp" if dataset_name == "amazon" else "train_tag"
+    usecols = one_hot_cols + seq_cols + [label_col, split_col]
+    df = pd.read_csv(path, usecols=usecols)
+
+    if domain_filter is not None:
+        df = df.loc[df["domain"].isin(list(domain_filter))].copy()
+
+    if dataset_name == "amazon":
+        train_valid = df[split_col].quantile(0.9)
+        valid_test = df[split_col].quantile(0.95)
+    else:
+        train_valid, valid_test = 1, 2
+
+    itemid_idx = one_hot_cols.index("itemid")
+    domain_idx = one_hot_cols.index("domain")
+    one_hot_dims = (df[one_hot_cols].max(axis=0).to_numpy() + 1).astype(np.int64)
+    if dataset_name == "amazon" and itemid_all is not None:
+        one_hot_dims[itemid_idx] = itemid_all
+    pad_value = int(one_hot_dims[itemid_idx] - 1) if itemid_all is None else int(itemid_all)
+    if itemid_all is None and seq_cols:
+        # Without a configured global item vocab, reserve one extra row as
+        # the sequence pad id (the reference uses config.itemid_all which is
+        # itself one past the max item id, config.py:7).
+        one_hot_dims[itemid_idx] += 1
+        pad_value = int(one_hot_dims[itemid_idx] - 1)
+
+    spec = FeatureSpec(
+        one_hot_dims=tuple(int(d) for d in one_hot_dims),
+        n_seq_fields=len(seq_cols),
+        itemid_idx=itemid_idx,
+        domain_idx=domain_idx,
+        seq_maxlen=seq_maxlen,
+        method="mean",
+    )
+    n_domain = int(df["domain"].nunique())
+
+    train_df = df[df[split_col] < train_valid]
+    valid_df = df[(df[split_col] >= train_valid) & (df[split_col] < valid_test)]
+    test_df = df[df[split_col] >= valid_test]
+
+    train_x, train_y = tensorize(train_df, one_hot_cols, seq_cols, label_col, seq_maxlen, pad_value)
+    valid_x, valid_y = tensorize(valid_df, one_hot_cols, seq_cols, label_col, seq_maxlen, pad_value)
+    test_x, test_y = tensorize(test_df, one_hot_cols, seq_cols, label_col, seq_maxlen, pad_value)
+
+    domain_vals = train_x[:, domain_idx]
+    cnt = np.bincount(domain_vals, minlength=n_domain).astype(np.float64)
+    domain_cnt_weight = cnt / max(1, train_x.shape[0])
+
+    aug_x = aug_y = None
+    if aug_path is not None:
+        aug_df = pd.read_csv(aug_path, usecols=usecols)
+        if domain_filter is not None:
+            aug_df = aug_df.loc[aug_df["domain"].isin(list(domain_filter))].copy()
+        aug_df = aug_df[aug_df[split_col] < train_valid]
+        aug_x, aug_y = tensorize(aug_df, one_hot_cols, seq_cols, label_col, seq_maxlen, pad_value)
+
+    return SplitData(
+        train_x=train_x, train_y=train_y,
+        valid_x=valid_x, valid_y=valid_y,
+        test_x=test_x, test_y=test_y,
+        spec=spec, domain_cnt_weight=domain_cnt_weight, n_domain=n_domain,
+        aug_train_x=aug_x, aug_train_y=aug_y,
+    )
+
+
+def pad_batch(x: np.ndarray, y: np.ndarray, bs: int) -> Dict[str, np.ndarray]:
+    """Pad a (possibly ragged) batch to exactly ``bs`` rows with a validity
+    mask. Pad rows replicate row 0 so embedding lookups stay in range."""
+    n = x.shape[0]
+    valid = np.zeros((bs,), dtype=np.float32)
+    valid[:n] = 1.0
+    if n < bs:
+        pad_x = np.broadcast_to(x[:1], (bs - n,) + x.shape[1:])
+        pad_y = np.zeros((bs - n,), dtype=y.dtype)
+        x = np.concatenate([x, pad_x], axis=0)
+        y = np.concatenate([y, pad_y], axis=0)
+    return {"x": x, "y": y.astype(np.float32), "valid": valid}
+
+
+class GlobalBatcher:
+    """Shuffled fixed-shape batches over the full split (reference
+    convert2data_loader + DataLoader(shuffle=True), run.py:267-308)."""
+
+    def __init__(self, x: np.ndarray, y: np.ndarray, batch_size: int,
+                 domain_idx: int, domain2group: Optional[np.ndarray] = None,
+                 shuffle: bool = True, seed: int = 0):
+        self.x, self.y = x, y
+        self.bs = batch_size
+        self.domain_idx = domain_idx
+        self.domain2group = domain2group
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return int(np.ceil(self.x.shape[0] / self.bs))
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = np.arange(self.x.shape[0])
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        for i in range(0, len(idx), self.bs):
+            sel = idx[i:i + self.bs]
+            batch = pad_batch(self.x[sel], self.y[sel], self.bs)
+            domain = batch["x"][:, self.domain_idx].astype(np.int32)
+            batch["domain"] = domain
+            if self.domain2group is not None:
+                batch["group"] = self.domain2group[domain].astype(np.int32)
+            yield batch
+
+
+class DomainBatcher:
+    """Per-domain streams + the shuffled single-domain batch sequence
+    (reference convert2domain_data_loader + get_domain_data,
+    run.py:310-353, 551-575)."""
+
+    def __init__(self, x: np.ndarray, y: np.ndarray, batch_size: int,
+                 domain_idx: int, n_domain: int, shuffle: bool = True, seed: int = 0):
+        self.bs = batch_size
+        self.domain_idx = domain_idx
+        self.n_domain = n_domain
+        self.rng = np.random.default_rng(seed)
+        domains = x[:, domain_idx]
+        self.domain_indices: List[np.ndarray] = [
+            np.nonzero(domains == d)[0] for d in range(n_domain)
+        ]
+        self.x, self.y = x, y
+        self.shuffle = shuffle
+        self._cursors = [0] * n_domain
+        self._orders = [None] * n_domain
+        self.domain_batch_seq: List[int] = []
+        for d in range(n_domain):
+            n_batches = int(np.ceil(len(self.domain_indices[d]) / batch_size))
+            self.domain_batch_seq.extend([d] * n_batches)
+        self.domain_batch_seq = list(self.rng.permutation(self.domain_batch_seq).astype(int)) \
+            if shuffle else self.domain_batch_seq
+
+    def shuffle_seq(self):
+        self.domain_batch_seq = list(self.rng.permutation(self.domain_batch_seq).astype(int))
+
+    def next_batch(self, d: int) -> Dict[str, np.ndarray]:
+        """Cyclic per-domain batch with StopIteration-restart semantics."""
+        idxs = self.domain_indices[d]
+        if len(idxs) == 0:
+            raise ValueError(f"domain {d} has no rows")
+        if self._orders[d] is None or self._cursors[d] >= len(idxs):
+            self._orders[d] = self.rng.permutation(idxs) if self.shuffle else idxs
+            self._cursors[d] = 0
+        sel = self._orders[d][self._cursors[d]:self._cursors[d] + self.bs]
+        self._cursors[d] += self.bs
+        batch = pad_batch(self.x[sel], self.y[sel], self.bs)
+        batch["domain"] = np.full((self.bs,), d, dtype=np.int32)
+        return batch
+
+
+def make_synthetic_data(
+    n_rows: int = 4096,
+    n_domain: int = 5,
+    n_one_hot: int = 6,
+    n_seq_fields: int = 2,
+    seq_maxlen: int = 5,
+    vocab: int = 200,
+    seed: int = 0,
+) -> SplitData:
+    """Small random dataset for tests: structured so AUC is learnable
+    (label correlates with item embedding parity)."""
+    rng = np.random.default_rng(seed)
+    dims = [vocab, 8, n_domain, 12, 20, 30][:n_one_hot]
+    while len(dims) < n_one_hot:
+        dims.append(10)
+    itemid_idx, domain_idx = 0, 2
+    dims = list(dims)
+    cols = [rng.integers(0, d, size=n_rows) for d in dims]
+    seq = rng.integers(0, vocab, size=(n_rows, n_seq_fields * seq_maxlen))
+    x = np.concatenate([np.stack(cols, axis=1), seq], axis=1).astype(np.int32)
+    logits = (x[:, itemid_idx] % 7) / 3.0 - 1.0 + 0.3 * rng.standard_normal(n_rows)
+    y = (logits > 0).astype(np.int8)
+    # pad id row for sequences
+    dims[itemid_idx] = vocab + 1
+    spec = FeatureSpec(tuple(dims), n_seq_fields, itemid_idx, domain_idx, seq_maxlen)
+    n_train = int(0.8 * n_rows)
+    n_valid = int(0.9 * n_rows)
+    cnt = np.bincount(x[:n_train, domain_idx], minlength=n_domain).astype(np.float64)
+    return SplitData(
+        train_x=x[:n_train], train_y=y[:n_train],
+        valid_x=x[n_train:n_valid], valid_y=y[n_train:n_valid],
+        test_x=x[n_valid:], test_y=y[n_valid:],
+        spec=spec, domain_cnt_weight=cnt / n_train, n_domain=n_domain,
+    )

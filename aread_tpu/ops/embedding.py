@@ -1,0 +1,116 @@
+"""Shared feature-embedding engine.
+
+Functionally reproduces the reference's ``FeaturesEmbedding``
+(model/layer.py:129-183): one logical table of ``sum(one_hot_dims)`` rows,
+per-field offsets added to raw ids, multi-hot (history-sequence) fields
+reusing the itemid field's rows and mean/sum-pooled over ``seq_maxlen``
+(pad rows included in the mean, exactly like ``torch.mean(..., dim=2)`` at
+layer.py:174).
+
+TPU-first design notes:
+  * the lookup is a single ``jnp.take`` over a contiguous table — XLA lowers
+    it to one fused dynamic-gather, and under a mesh the table can be
+    row-sharded (see aread_tpu.parallel.embed_shard) with the same module
+    providing the math reference;
+  * offsets are a compile-time constant folded into the gather indices;
+  * pooling is a reshape + mean, fused by XLA into the gather consumer.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from aread_tpu.ops.initializers import embedding_init, linear_kernel_init, linear_bias_init_for
+
+
+def compute_offsets(one_hot_dims: Sequence[int], n_multi_hot_slots: int, itemid_idx: int) -> np.ndarray:
+    """Per-column row offsets into the fused table (reference layer.py:152-157)."""
+    offsets = np.concatenate([[0], np.cumsum(one_hot_dims)[:-1]]).astype(np.int64)
+    if n_multi_hot_slots > 0:
+        multi = np.full((n_multi_hot_slots,), offsets[itemid_idx], dtype=np.int64)
+        offsets = np.concatenate([offsets, multi])
+    return offsets
+
+
+class FeaturesEmbedding(nn.Module):
+    """Fused multi-field embedding with multi-hot pooling.
+
+    Input  x: int32 [B, n_one_hot + n_seq_fields*seq_maxlen]
+    Output:   float [B, output_dim0, embed_dim]   (or flattened when
+              ``squeeze_dim=True``), where
+              output_dim0 = n_one_hot + n_seq_fields for mean/sum pooling.
+    """
+
+    one_hot_dims: Tuple[int, ...]
+    embed_dim: int
+    multi_hot_flag: Tuple[bool, ...]
+    itemid_idx: int
+    seq_maxlen: int
+    method: str = "mean"  # 'mean' | 'sum' | None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def one_hot_field_num(self) -> int:
+        return len(self.one_hot_dims)
+
+    @property
+    def multi_hot_slots(self) -> int:
+        return int(np.sum(self.multi_hot_flag))
+
+    @property
+    def multi_hot_field_num(self) -> int:
+        return self.multi_hot_slots // self.seq_maxlen if self.multi_hot_slots else 0
+
+    @property
+    def output_dim0(self) -> int:
+        if self.method in ("mean", "sum"):
+            return self.one_hot_field_num + self.multi_hot_field_num
+        return self.one_hot_field_num + self.multi_hot_slots
+
+    @property
+    def n_rows(self) -> int:
+        return int(np.sum(self.one_hot_dims))
+
+    @nn.compact
+    def __call__(self, x, squeeze_dim: bool = False):
+        if self.method not in ("mean", "sum", None):
+            raise ValueError(f"Invalid multi-hot method {self.method!r}")
+        table = self.param("table", embedding_init, (self.n_rows, self.embed_dim), self.param_dtype)
+        offsets = compute_offsets(self.one_hot_dims, self.multi_hot_slots, self.itemid_idx)
+        ids = x + jnp.asarray(offsets, dtype=x.dtype)[None, :]
+        embed_x = jnp.take(table, ids, axis=0)  # [B, F_total, E]
+
+        if self.multi_hot_field_num > 0 and self.method in ("mean", "sum"):
+            n_one = self.one_hot_field_num
+            one_hot = embed_x[:, :n_one, :]
+            multi = embed_x[:, n_one:, :].reshape(
+                -1, self.multi_hot_field_num, self.seq_maxlen, self.embed_dim
+            )
+            pooled = jnp.mean(multi, axis=2) if self.method == "mean" else jnp.sum(multi, axis=2)
+            embed_x = jnp.concatenate([one_hot, pooled], axis=1)
+
+        if squeeze_dim:
+            embed_x = embed_x.reshape(embed_x.shape[0], -1)
+        return embed_x
+
+
+class FeaturesLinear(nn.Module):
+    """First-order linear head over the flattened embedding
+    (reference layer.py:115-126)."""
+
+    input_dim: int
+    output_dim: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", linear_kernel_init, (self.input_dim, self.output_dim))
+        y = x @ kernel
+        if self.use_bias:
+            bias = self.param("bias", linear_bias_init_for(self.input_dim), (self.output_dim,))
+            y = y + bias
+        return y

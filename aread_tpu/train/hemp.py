@@ -1,0 +1,324 @@
+"""AREAD training: warm-up, HEMP mask evolution, bagging steps, and the
+per-domain masked evaluation (reference Run.train_aread run.py:578-686 and
+Run.test's AREAD branch run.py:718-727).
+
+Host/device split (the reference mutates module state mid-step; here):
+  * all mask logic (generate / validate / prune / select) is numpy on host
+    (aread_tpu.utils.masks) — masks are tiny;
+  * three jitted device functions: a bagging train step (used for both the
+    main optimizer and the per-candidate fresh fast Adam), a no-grad eval
+    loss probe, and an eval prob step. Masks are runtime bool arrays with
+    static shapes, so the whole HEMP evolution loop never recompiles;
+  * parameter snapshot/restore around candidate fast-adaptation is a host
+    pytree copy (reference save_model_state/load_model_state,
+    aread.py:534-546). Deviation (bug fix): the reference's regex snapshot
+    omits the MMoE experts/gates (aread.py:535 lists only the PLE
+    'cgc_layers'), silently leaking each candidate's fast-adapt updates
+    into the shared extractor; we snapshot the full (params, state).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from aread_tpu.config import Config
+from aread_tpu.data.loader import DomainBatcher, SplitData
+from aread_tpu.models.aread import AREAD
+from aread_tpu.models.base import regularization_loss
+from aread_tpu.train import metrics as metrics_lib
+from aread_tpu.train.trainer import bce_with_logits, make_optimizer, masked_mean, split_variables
+from aread_tpu.utils.masks import HempMaskState, mask_shapes
+
+
+def _to_device_mask(mask) -> Tuple:
+    return tuple(jnp.asarray(m) for m in mask)
+
+
+class AREADTrainer:
+    def __init__(self, model: AREAD, config: Config, n_domain: int):
+        self.model = model
+        self.config = config
+        self.n_domain = n_domain
+        self.mask_state = HempMaskState(model.n_tower, n_domain, seed=config.seed)
+        self.optimizer = make_optimizer(config.lr, config.wd)
+        self.fast_optimizer = make_optimizer(config.update_lr, config.wd)
+        # HEMP schedule state (reference run.py:82-84)
+        self.random_modify_sigma = config.random_modify_sigma
+        self.init_active_percent = config.init_active_percent
+        self.candidate_mask_num = float(config.candidate_mask_num)
+        self.regroup_times = 0
+        # early stopping
+        self.trial_counter = 0
+        self.best_auc, self.best_mean_auc = 0.0, 0.0
+        self.best_checkpoint = None
+        self._fns = None
+
+    # ------------------------------------------------------------- jitted
+    def _build_fns(self):
+        model = self.model
+        reg_rules = type(model).REG_RULES
+        main_opt, fast_opt = self.optimizer, self.fast_optimizer
+
+        def bagging_loss(p, state, batch, dm, rng, mode):
+            out, new_state = model.apply(
+                {"params": p, **state}, batch["x"], domain_mask=dm, mode=mode,
+                train=True, mask=batch["valid"], mutable=list(state.keys()),
+                rngs={"dropout": rng})
+            if mode == "wo_mask":
+                # warm-up trains on the mean-prob prediction (aread.py:186,
+                # run.py:597-599); BCE on mean prob, via its logit transform
+                prob = jnp.clip(out["prob"], 1e-7, 1 - 1e-7)
+                bce = masked_mean(-(batch["y"] * jnp.log(prob)
+                                    + (1 - batch["y"]) * jnp.log1p(-prob)),
+                                  batch["valid"])
+            else:
+                # bagging: mean of per-leaf BCE over active leaves
+                # (run.py:674-677)
+                per_leaf = jax.vmap(
+                    lambda lg: masked_mean(bce_with_logits(lg, batch["y"]), batch["valid"]),
+                    in_axes=1)(out["leaf_logit"])  # [T_last]
+                la = out["leaf_active"].astype(per_leaf.dtype)
+                bce = jnp.sum(per_leaf * la) / jnp.maximum(la.sum(), 1e-8)
+            loss = bce + regularization_loss(p, reg_rules)
+            return loss, (new_state, out["gate_means"])
+
+        def make_step(opt, mode):
+            def step(params, state, opt_state, batch, dm, rng):
+                (loss, (new_state, gms)), grads = jax.value_and_grad(
+                    bagging_loss, has_aux=True)(params, state, batch, dm, rng, mode)
+                updates, new_opt_state = opt.update(grads, opt_state, params)
+                new_params = optax.apply_updates(params, updates)
+                return new_params, dict(new_state), new_opt_state, loss, gms
+            return jax.jit(step)
+
+        @jax.jit
+        def eval_loss_step(params, state, batch, dm):
+            """No-grad eval probe: BCE on mean-over-active-leaves prob + reg
+            (run.py:651-657, mode='domain_with_mask')."""
+            out = model.apply({"params": params, **state}, batch["x"],
+                              domain_mask=dm, mode="domain_with_mask", train=False)
+            prob = jnp.clip(out["prob"], 1e-7, 1 - 1e-7)
+            bce = masked_mean(-(batch["y"] * jnp.log(prob)
+                                + (1 - batch["y"]) * jnp.log1p(-prob)), batch["valid"])
+            return bce + regularization_loss(params, reg_rules)
+
+        @jax.jit
+        def eval_prob_step(params, state, batch, dm):
+            out = model.apply({"params": params, **state}, batch["x"],
+                              domain_mask=dm, mode="domain_with_mask", train=False)
+            return out["prob"]
+
+        self._fns = {
+            "main_step": make_step(main_opt, "domain_mask_bagging"),
+            "fast_step": make_step(fast_opt, "domain_mask_bagging"),
+            "warmup_step": make_step(main_opt, "wo_mask"),
+            "eval_loss": eval_loss_step,
+            "eval_prob": eval_prob_step,
+        }
+        return self._fns
+
+    # -------------------------------------------------------------- helpers
+    def _snapshot(self, params, state):
+        return (jax.tree_util.tree_map(np.asarray, params),
+                jax.tree_util.tree_map(np.asarray, state))
+
+    def _restore(self, snap):
+        params = jax.tree_util.tree_map(jnp.asarray, snap[0])
+        state = jax.tree_util.tree_map(jnp.asarray, snap[1])
+        return params, state
+
+    def init(self, rng, sample_batch):
+        model = self.model
+        variables = jax.jit(
+            lambda r, x: model.init({"params": r, "dropout": r}, x,
+                                    domain_mask=None, mode="wo_mask", train=False)
+        )(rng, jnp.asarray(sample_batch["x"]))
+        params, state = split_variables(variables)
+        opt_state = self.optimizer.init(params)
+        return params, state, opt_state
+
+    # ------------------------------------------------------------ epochs
+    def train_epoch(self, params, state, opt_state, epoch_i: int,
+                    train_batcher: DomainBatcher, aug_batcher: DomainBatcher,
+                    rng, verbose: bool = True):
+        cfg = self.config
+        fns = self._fns or self._build_fns()
+        ms = self.mask_state
+        warm_up_interval = (cfg.warm_up_interval * 1024) // cfg.bs
+        regroup_interval = max(1, (cfg.regroup_interval * 1024) // cfg.bs)
+
+        if epoch_i == 0:
+            # -------- warm-up: round-robin domains in wo_mask with gate
+            # recording (run.py:588-607)
+            domain_list: List[int] = []
+            for i in range(warm_up_interval):
+                if not domain_list:
+                    domain_list = list(range(self.n_domain))
+                d = domain_list.pop()
+                batch = {k: jnp.asarray(v) for k, v in train_batcher.next_batch(d).items()}
+                rng, srng = jax.random.split(rng)
+                dm = _to_device_mask([np.ones(s, bool)
+                                      for s in mask_shapes(self.model.n_tower)])
+                params, state, opt_state, loss, gms = fns["warmup_step"](
+                    params, state, opt_state, batch, dm, srng)
+                ms.record_gates(d, [np.asarray(g) for g in gms])
+
+        losses = []
+        seq = train_batcher.domain_batch_seq
+        for i, d in enumerate(seq):
+            batch_np = train_batcher.next_batch(d)
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            if (epoch_i == 0 and i == 0) or ((i + 1) % regroup_interval == 0):
+                params, state = self._mask_evolution(
+                    params, state, train_batcher, aug_batcher, rng, verbose)
+            record = ((i + 1) // regroup_interval
+                      - (i + 1 + warm_up_interval) // regroup_interval) > 0
+            rng, srng = jax.random.split(rng)
+            dm = _to_device_mask(ms.domain_mask[d])
+            params, state, opt_state, loss, gms = fns["main_step"](
+                params, state, opt_state, batch, dm, srng)
+            if record:
+                ms.record_gates(d, [np.asarray(g) for g in gms])
+            losses.append(float(loss))
+        return params, state, opt_state, rng, float(np.mean(losses)) if losses else np.nan
+
+    def _mask_evolution(self, params, state, train_batcher: DomainBatcher,
+                        aug_batcher: DomainBatcher, rng, verbose: bool = True):
+        """HEMP candidate generation + fast adaptation + probe + selection
+        (run.py:612-661)."""
+        cfg = self.config
+        fns = self._fns or self._build_fns()
+        ms = self.mask_state
+        snap = self._snapshot(params, state)
+        self.random_modify_sigma *= 0.99
+        self.init_active_percent = max(0.1, self.init_active_percent * 0.95)
+        self.candidate_mask_num *= 0.99
+        n_cand = max(1, int(self.candidate_mask_num))
+        self.regroup_times += 1
+        if verbose:
+            print(f"regroup {self.regroup_times}: sigma={self.random_modify_sigma:.4f} "
+                  f"active%={self.init_active_percent:.3f} candidates={n_cand}")
+        t0 = time.time()
+        for d in range(self.n_domain):
+            for z in range(n_cand):
+                tmp_mask = ms.generate_mask(
+                    "mask_max_gate", d,
+                    init_active_percent=self.init_active_percent,
+                    random_modify_sigma=self.random_modify_sigma)
+                fparams, fstate = self._restore(snap)
+                fast_opt_state = self.fast_optimizer.init(fparams)
+                rng, srng = jax.random.split(rng)
+                for s in range(cfg.regroup_update_step):
+                    batch = {k: jnp.asarray(v)
+                             for k, v in aug_batcher.next_batch(d).items()}
+                    srng, step_rng = jax.random.split(srng)
+                    fparams, fstate, fast_opt_state, loss, gms = fns["fast_step"](
+                        fparams, fstate, fast_opt_state, batch,
+                        _to_device_mask(tmp_mask), step_rng)
+                    ms.record_tmp_gates([np.asarray(g) for g in gms], tmp_mask)
+                    tmp_mask = ms.prun_single_mask(d, tmp_mask, prun_ratio=0.05)
+                ms.candidate_domain_mask[d].append(tmp_mask)
+                for s in range(cfg.regroup_eval_step):
+                    batch = {k: jnp.asarray(v)
+                             for k, v in train_batcher.next_batch(d).items()}
+                    loss = fns["eval_loss"](fparams, fstate, batch,
+                                            _to_device_mask(tmp_mask))
+                    ms.add_eval_loss(float(loss), d=d, mask_z=z)
+        ms.update_all_mask()
+        if verbose:
+            print(f"mask evolution took {time.time() - t0:.1f}s; "
+                  f"active ratio {ms.current_active_ratio():.3f}")
+        ms.reset_for_mask_update()
+        return self._restore(snap)
+
+    # ---------------------------------------------------------------- eval
+    def evaluate(self, params, state, batcher: DomainBatcher,
+                 domain_cnt_weight: np.ndarray) -> Dict:
+        fns = self._fns or self._build_fns()
+        ms = self.mask_state
+        preds, targets, domains = [], [], []
+        for d in batcher.domain_batch_seq:
+            batch_np = batcher.next_batch(d)
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            prob = np.asarray(fns["eval_prob"](params, state, batch,
+                                               _to_device_mask(ms.domain_mask[d])))
+            n = int(batch_np["valid"].sum())
+            preds.append(prob[:n])
+            targets.append(batch_np["y"][:n])
+            domains.append(np.full((n,), d, np.int64))
+        return metrics_lib.full_evaluation(
+            np.concatenate(targets), np.concatenate(preds), np.concatenate(domains),
+            domain_cnt_weight, multi_domain=self.config.is_evaluate_multi_domain)
+
+    def is_continuable(self, params, state, result: Dict, epoch_i: int) -> bool:
+        key = "mean_auc" if "mean_auc" in result and not np.isnan(result["mean_auc"]) \
+            else "total_auc"
+        best = self.best_mean_auc if key == "mean_auc" else self.best_auc
+        if result[key] > best:
+            self.trial_counter = 0
+            self.best_auc = result["total_auc"]
+            if "mean_auc" in result:
+                self.best_mean_auc = result["mean_auc"]
+            self.best_checkpoint = (
+                self._snapshot(params, state),
+                [None if m is None else [mm.copy() for mm in m]
+                 for m in self.mask_state.domain_mask],
+                epoch_i)
+            return True
+        if self.trial_counter + 1 < self.config.early_stop:
+            self.trial_counter += 1
+            return True
+        return False
+
+    def fit(self, data: SplitData, rng=None, epochs: Optional[int] = None,
+            verbose: bool = True) -> Dict:
+        cfg = self.config
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+        train_b = DomainBatcher(data.train_x, data.train_y, cfg.bs,
+                                data.spec.domain_idx, self.n_domain, seed=cfg.seed)
+        valid_b = DomainBatcher(data.valid_x, data.valid_y, cfg.bs,
+                                data.spec.domain_idx, self.n_domain,
+                                shuffle=False, seed=cfg.seed)
+        test_b = DomainBatcher(data.test_x, data.test_y, cfg.bs,
+                               data.spec.domain_idx, self.n_domain,
+                               shuffle=False, seed=cfg.seed)
+        aug_x = data.aug_train_x if data.aug_train_x is not None else data.train_x
+        aug_y = data.aug_train_y if data.aug_train_y is not None else data.train_y
+        aug_b = DomainBatcher(aug_x, aug_y, cfg.bs, data.spec.domain_idx,
+                              self.n_domain, seed=cfg.seed + 1)
+
+        init_rng, rng = jax.random.split(rng)
+        sample = train_b.next_batch(int(np.argmax([len(i) for i in train_b.domain_indices])))
+        params, state, opt_state = self.init(init_rng, sample)
+
+        history = []
+        for epoch_i in range(epochs if epochs is not None else cfg.epoch):
+            t0 = time.time()
+            params, state, opt_state, rng, train_loss = self.train_epoch(
+                params, state, opt_state, epoch_i, train_b, aug_b, rng, verbose)
+            train_b.shuffle_seq()
+            result = self.evaluate(params, state, valid_b, data.domain_cnt_weight)
+            result["train_loss"] = train_loss
+            result["epoch_time_s"] = time.time() - t0
+            history.append(result)
+            if verbose:
+                print(f"epoch {epoch_i + 1}: loss={train_loss:.4f} "
+                      f"auc={result['total_auc']:.4f} mean_auc={result.get('mean_auc', np.nan):.4f}")
+            if not self.is_continuable(params, state, result, epoch_i):
+                break
+
+        if self.best_checkpoint is not None:
+            snap, masks, _ = self.best_checkpoint
+            params, state = self._restore(snap)
+            self.mask_state.domain_mask = [
+                None if m is None else [mm.copy() for mm in m] for m in masks]
+        test_result = self.evaluate(params, state, test_b, data.domain_cnt_weight)
+        return {"history": history, "test": test_result,
+                "params": params, "state": state,
+                "domain_mask": self.mask_state.domain_mask}

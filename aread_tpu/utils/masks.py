@@ -1,0 +1,299 @@
+"""HEMP mask machinery — pure numpy on host.
+
+The reference keeps per-domain boolean edge masks as lists of torch tensors
+mutated on the module (aread.py:324-638). Masks are tiny ((1,3),(3,6),
+(6,12),(12,1) for g=3), so all generation/validation/pruning runs on host
+in numpy; the jitted forward receives them as static-shape runtime bool
+arrays (no recompilation across mask updates).
+
+Reproduced semantics, each citing its reference source:
+  * create_single_full_mask       aread.py:548-568
+  * validate_mask (worklist)      aread.py:570-605
+  * generate_mask modes rand / mask_norm_rand / max_gate /
+    max_gate_norm_rand / mask_max_gate        aread.py:432-532
+  * prune (quantile threshold AND, revert-if-dead)  aread.py:357-381
+  * gate-value accumulation + threshold       aread.py:383-430
+  * best-candidate selection                  aread.py:330-355
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+Mask = List[np.ndarray]  # [1,T0], [T0,T1], ..., [T_last,1] boolean arrays
+
+
+def mask_shapes(n_tower: Sequence[int]) -> List[Tuple[int, int]]:
+    shapes = [(1, n_tower[0])]
+    for l in range(1, len(n_tower)):
+        shapes.append((n_tower[l - 1], n_tower[l]))
+    shapes.append((n_tower[-1], 1))
+    return shapes
+
+
+def edge_num(n_tower: Sequence[int]) -> int:
+    return int(sum(a * b for a, b in mask_shapes(n_tower)))
+
+
+def count_active_edge(mask: Mask) -> int:
+    return int(sum(int(np.sum(m)) for m in mask))
+
+
+def create_single_full_mask(n_tower: Sequence[int], fill_value: float,
+                            rng: np.random.Generator) -> Mask:
+    """aread.py:548-568: all-zero / all-one / Bernoulli(fill_value) masks."""
+    shapes = mask_shapes(n_tower)
+    if fill_value == 0:
+        return [np.zeros(s, bool) for s in shapes]
+    if fill_value == 1:
+        return [np.ones(s, bool) for s in shapes]
+    if 0 < fill_value < 1:
+        return [rng.random(s) < fill_value for s in shapes]
+    raise ValueError("fill_value in mask must be 0 or 1 or (0, 1)")
+
+
+def validate_mask(mask: Mask, add_input: bool = True, add_output: bool = True,
+                  remove_hidden: bool = True) -> Mask:
+    """Graph-consistency repair (aread.py:570-605): add input edges for live
+    level-0 towers, add output edges for live leaves, iteratively sever
+    hidden towers with no in- or out-edges (worklist)."""
+    mask = [m.copy() for m in mask]
+    n_level = len(mask) - 1
+    n_tower = [m.shape[1] for m in mask[:-1]]
+    if add_input:
+        for t in range(n_tower[0]):
+            if mask[1][t, :].any():
+                mask[0][:, t] = True
+    if add_output:
+        for t in range(n_tower[-1]):
+            if mask[-2][:, t].any():
+                mask[-1][t, :] = True
+    if remove_hidden:
+        to_check = [(l, t) for l in range(1, n_level) for t in range(n_tower[l])]
+        while to_check:
+            l, t = to_check.pop(0)
+            if not mask[l][:, t].any():
+                mask[l + 1][t, :] = False
+            if not mask[l + 1][t, :].any():
+                if l > 1:
+                    for prev_t in np.nonzero(mask[l][:, t])[0].tolist():
+                        if (l - 1, prev_t) not in to_check:
+                            to_check.append((l - 1, prev_t))
+                mask[l][:, t] = False
+    return mask
+
+
+def has_output(mask: Mask) -> bool:
+    return bool(mask[-1].any())
+
+
+@dataclasses.dataclass
+class GateAccumulator:
+    """Per-domain accumulation of mean gate values (the reference's
+    domain_tower_gate_values lists, aread.py:383-430). Each record is a
+    tuple of [T_{l-1}, T_l] matrices for levels 1..n_level-1."""
+
+    n_tower: Tuple[int, ...]
+
+    def __post_init__(self):
+        self.reset()
+
+    def reset(self):
+        self._records: List[Tuple[np.ndarray, ...]] = []
+
+    def add(self, gate_means: Sequence[np.ndarray]):
+        self._records.append(tuple(np.asarray(g) for g in gate_means))
+
+    def __len__(self):
+        return len(self._records)
+
+    def mean_values(self) -> List[np.ndarray]:
+        """Level-indexed list: zeros for level 0 and the output level,
+        mean-over-records matrices for levels 1..n_level-1
+        (mean_domain_tower_gate_values, aread.py:403-423). A domain with no
+        records yields all-zero matrices — the threshold then comes out
+        None and mask generation falls back to 'rand', exactly the
+        reference's no-gate-values path (aread.py:413-415, 504-507)."""
+        n_level = len(self.n_tower)
+        values = [np.zeros((1, self.n_tower[0]), np.float32)]
+        for li in range(n_level - 1):
+            if self._records:
+                stacked = np.stack([r[li] for r in self._records], axis=0)
+                values.append(stacked.mean(axis=0))
+            else:
+                values.append(np.zeros((self.n_tower[li], self.n_tower[li + 1]),
+                                       np.float32))
+        values.append(np.zeros((self.n_tower[-1], 1), np.float32))
+        return values
+
+
+def gate_threshold(mean_values: List[np.ndarray],
+                   active_percent: float) -> Optional[float]:
+    """Quantile(1 - active_percent) over positive mid-level gate means
+    (aread.py:425-430). None if no positive values."""
+    threshold = 1.0
+    for ts in mean_values[1:-1]:
+        pos = ts[ts > 1e-8]
+        if pos.size:
+            threshold = min(threshold, float(np.quantile(pos.ravel(), 1 - active_percent)))
+    return None if threshold == 1.0 else threshold
+
+
+class HempMaskState:
+    """Host-side HEMP state for all domains: current masks, candidates,
+    gate accumulators and eval losses (reference AREAD attributes
+    domain_mask / candidate_domain_mask / domain_tower_gate_values /
+    eval_loss, aread.py:61-68, reset at aread.py:383-401)."""
+
+    def __init__(self, n_tower: Sequence[int], n_domain: int, seed: int = 0):
+        self.n_tower = tuple(int(t) for t in n_tower)
+        self.n_domain = n_domain
+        self.rng = np.random.default_rng(seed)
+        self.edge_num = edge_num(n_tower)
+        self.domain_mask: List[Optional[Mask]] = [None] * n_domain
+        self.reset_for_mask_update()
+        # per-fast-adapt-step gate values (tmp_tower_gate_values)
+        self.tmp_gate_record: Optional[Tuple[np.ndarray, ...]] = None
+
+    def reset_for_mask_update(self, d: Optional[int] = None):
+        if d is None:
+            self.gate_acc = [GateAccumulator(self.n_tower) for _ in range(self.n_domain)]
+            self.gate_value_threshold: List[Optional[float]] = [None] * self.n_domain
+            self.candidate_domain_mask: List[List[Mask]] = [[] for _ in range(self.n_domain)]
+            self.eval_loss: List[List[List[float]]] = [[] for _ in range(self.n_domain)]
+        else:
+            self.gate_acc[d] = GateAccumulator(self.n_tower)
+            self.gate_value_threshold[d] = None
+            self.candidate_domain_mask[d] = []
+            self.eval_loss[d] = []
+
+    # ------------------------------------------------------------ recording
+    def record_gates(self, d: int, gate_means: Sequence[np.ndarray]):
+        self.gate_acc[d].add(gate_means)
+
+    def record_tmp_gates(self, gate_means: Sequence[np.ndarray], current_mask: Mask):
+        """Record a single fast-adapt step's gate values (masked), the
+        reference's tmp_memory_gate_value path (aread.py:290-292)."""
+        rec = []
+        for li, g in enumerate(gate_means):
+            rec.append(np.asarray(g))  # already masked in the forward
+        self.tmp_gate_record = tuple(rec)
+
+    def add_eval_loss(self, loss_mean: float, d: int, mask_z: int):
+        """aread.py:324-328."""
+        if len(self.eval_loss[d]) <= mask_z:
+            self.eval_loss[d].append([loss_mean])
+        else:
+            self.eval_loss[d][mask_z].append(loss_mean)
+
+    # ----------------------------------------------------------- generation
+    def generate_mask(self, generate_mode: str, d: int,
+                      init_active_percent: float = 0.7,
+                      random_modify_sigma: float = 0.2) -> Mask:
+        rng = self.rng
+        if generate_mode == "rand":
+            while True:
+                mask = create_single_full_mask(self.n_tower, init_active_percent, rng)
+                valid = validate_mask(mask)
+                if has_output(valid):
+                    return valid
+        if generate_mode == "mask_norm_rand":
+            original = [m.copy() for m in self.domain_mask[d]]
+            active = count_active_edge(original)
+            while True:
+                rand_percent = min(1.0, abs(rng.normal(0, random_modify_sigma)))
+                mask = []
+                for m in original:
+                    r = rng.random(m.shape) < rand_percent
+                    mask.append((m | r) if active < self.edge_num * rand_percent else (m ^ r))
+                valid = validate_mask(mask)
+                if has_output(valid) and any(
+                        not np.array_equal(valid[l], original[l]) for l in range(len(original))):
+                    return valid
+        if generate_mode in ("max_gate", "max_gate_norm_rand", "mask_max_gate"):
+            mean_values = self.gate_acc[d].mean_values()
+            thr = gate_threshold(mean_values, init_active_percent)
+            self.gate_value_threshold[d] = thr
+            if thr is None:
+                prun_mask = self.generate_mask("rand", d, init_active_percent,
+                                               random_modify_sigma)
+            else:
+                prun_mask = [mv >= thr for mv in mean_values]
+            if generate_mode == "max_gate":
+                valid = validate_mask(prun_mask)
+                if not has_output(valid):
+                    raise ValueError(f"max_gate mask for domain {d} has no output")
+                return valid
+            if generate_mode == "max_gate_norm_rand":
+                rand_percent = min(1.0, abs(rng.normal(0, random_modify_sigma)))
+                while True:
+                    mask = [m ^ (rng.random(m.shape) < rand_percent) for m in prun_mask]
+                    valid = validate_mask(mask)
+                    if has_output(valid):
+                        return valid
+            # mask_max_gate (the mode the trainer uses, run.py:628)
+            rand_percent = min(1.0, abs(rng.normal(0, random_modify_sigma)))
+            origin = self.domain_mask[d] if self.domain_mask[d] is not None else prun_mask
+            is_nor = (count_active_edge(origin) / self.edge_num) > init_active_percent
+            while True:
+                mask = []
+                for om, pm in zip(origin, prun_mask):
+                    r = rng.random(om.shape) < rand_percent
+                    base = om | pm
+                    mask.append((base ^ r) if is_nor else (base | r))
+                valid = validate_mask(mask)
+                if has_output(valid) and any(
+                        not np.array_equal(valid[l], origin[l]) for l in range(len(origin))):
+                    return valid
+        raise ValueError(f"unknown generate_mode {generate_mode}")
+
+    # -------------------------------------------------------------- pruning
+    def prun_single_mask(self, d: int, current_mask: Mask,
+                         prun_ratio: float = 0.05) -> Mask:
+        """Progressive pruning during fast adaptation (aread.py:357-381):
+        threshold the last recorded step's gate values at quantile
+        prun_ratio, AND into the mask, revert if the output dies."""
+        if self.tmp_gate_record is None:
+            raise ValueError("no tmp gate record for pruning")
+        gate_values = list(self.tmp_gate_record)  # [T_{l-1}, T_l] per level
+        threshold = 1.0
+        for gv in gate_values:
+            pos = gv[gv > 1e-8]
+            if pos.size:
+                threshold = min(threshold, float(np.quantile(pos.ravel(), prun_ratio)))
+        if threshold == 1.0:
+            raise ValueError("no valid tmp_tower_gate_values in candidate mask")
+        before = [m.copy() for m in current_mask]
+        new_mask = [m.copy() for m in current_mask]
+        for li, gv in enumerate(gate_values):
+            new_mask[li + 1] = new_mask[li + 1] & (gv >= threshold)
+        valid = validate_mask(new_mask)
+        self.tmp_gate_record = None
+        return valid if has_output(valid) else before
+
+    # ------------------------------------------------------------ selection
+    def update_all_mask(self) -> None:
+        """Pick the lowest-mean-eval-loss candidate per domain
+        (aread.py:330-343)."""
+        for d in range(self.n_domain):
+            if not self.candidate_domain_mask[d]:
+                continue
+            loss_means = [float(np.mean(losses)) for losses in self.eval_loss[d]]
+            best = int(np.argmin(loss_means))
+            self.domain_mask[d] = self.candidate_domain_mask[d][best]
+
+    def current_active_ratio(self) -> float:
+        """aread.py:664-669."""
+        total = 0.0
+        for d in range(self.n_domain):
+            if self.domain_mask[d] is not None:
+                total += count_active_edge(self.domain_mask[d]) / self.edge_num
+        return total / self.n_domain
+
+    def init_full_masks(self):
+        shapes = mask_shapes(self.n_tower)
+        for d in range(self.n_domain):
+            self.domain_mask[d] = [np.ones(s, bool) for s in shapes]

@@ -1,0 +1,114 @@
+"""Benchmark: AREAD (flagship) training throughput on the real chip.
+
+Prints ONE JSON line:
+  {"metric": "aread_train_examples_per_sec_per_chip", "value": N,
+   "unit": "examples/s", "vs_baseline": R}
+
+Setup mirrors the reference's Amazon configuration (run.py:437-450,
+config.py): embed_dim 32, bs 1024, 7 one-hot fields + 2 history-seq fields
+(seq_maxlen 5), itemid vocab 1,368,287 (config.py:7), HEI towers (3,6,12),
+MMoE base with 4 experts, DCN side network — one domain_mask_bagging
+train step (forward + backward + Adam) per measurement, exactly the hot
+loop of train_aread (run.py:663-681).
+
+vs_baseline compares against the PyTorch reference's measured examples/s on
+this container's CPU (see BASELINE.md; the reference publishes no numbers
+and this box has no GPU).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Measured via benchmarks/reference_baseline.py on this container
+# (PyTorch 2.13 CPU, 2 threads, bs=1024, identical model/shape config):
+# 5038 ms/step = 203.3 examples/s. See BASELINE.md.
+BASELINE_EXAMPLES_PER_SEC = 203.3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from aread_tpu.models.aread import AREAD, full_mask
+    from aread_tpu.models.base import FeatureSpec, regularization_loss
+    from aread_tpu.train.trainer import bce_with_logits, make_optimizer, masked_mean, split_variables
+
+    bs, embed_dim = 1024, 32
+    # Amazon layout (run.py:52-54): itemid, weekday, domain, sales_chart,
+    # sales_rank, brand, price + pos/neg 6-month sequences
+    spec = FeatureSpec(
+        one_hot_dims=(1368287, 7, 25, 40, 11, 150000, 12),
+        n_seq_fields=2, itemid_idx=0, domain_idx=2, seq_maxlen=5)
+    n_domain = 25
+    model = AREAD(spec=spec, embed_dim=embed_dim, n_tower=(3, 6, 12),
+                  n_domain=n_domain, base_model="mmoe",
+                  expert_dims=(256, 128, 64),
+                  tower_dims=((64, 32), (32, 16), (16, 8)), mmoe_n_expert=4)
+
+    rng = np.random.default_rng(0)
+    cols = [rng.integers(0, d, size=(bs, 1)) for d in spec.one_hot_dims]
+    seqs = rng.integers(0, spec.one_hot_dims[0], size=(bs, 10))
+    x = jnp.asarray(np.concatenate(cols + [seqs], axis=1).astype(np.int32))
+    y = jnp.asarray(rng.integers(0, 2, size=bs).astype(np.float32))
+    valid = jnp.ones((bs,), jnp.float32)
+    dm = tuple(jnp.asarray(m) for m in full_mask(model.n_tower))
+
+    variables = jax.jit(
+        lambda r, xx: model.init({"params": r, "dropout": r}, xx, mode="wo_mask")
+    )(jax.random.PRNGKey(0), x)
+    params, state = split_variables(variables)
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+    reg_rules = type(model).REG_RULES
+
+    @jax.jit
+    def step(params, state, opt_state, x, y, valid, dm, rng):
+        def loss_fn(p):
+            out, new_state = model.apply(
+                {"params": p, **state}, x, domain_mask=dm,
+                mode="domain_mask_bagging", train=True, mask=valid,
+                mutable=list(state.keys()), rngs={"dropout": rng})
+            per_leaf = jax.vmap(
+                lambda lg: masked_mean(bce_with_logits(lg, y), valid),
+                in_axes=1)(out["leaf_logit"])
+            la = out["leaf_active"].astype(per_leaf.dtype)
+            bce = jnp.sum(per_leaf * la) / jnp.maximum(la.sum(), 1e-8)
+            return bce + regularization_loss(p, reg_rules), new_state
+
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), dict(new_state),
+                new_opt_state, loss)
+
+    key = jax.random.PRNGKey(1)
+    # warmup / compile
+    params, state, opt_state, loss = step(params, state, opt_state, x, y,
+                                          valid, dm, key)
+    jax.block_until_ready(params)
+
+    n_steps = 30
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, sk = jax.random.split(key)
+        params, state, opt_state, loss = step(params, state, opt_state, x, y,
+                                              valid, dm, sk)
+    jax.block_until_ready(params)
+    dt = time.perf_counter() - t0
+    eps = bs * n_steps / dt
+
+    vs = eps / BASELINE_EXAMPLES_PER_SEC if BASELINE_EXAMPLES_PER_SEC else None
+    print(json.dumps({
+        "metric": "aread_train_examples_per_sec_per_chip",
+        "value": round(eps, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

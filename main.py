@@ -1,0 +1,122 @@
+"""CLI entry point, mirroring the reference's main.py flags
+(main.py:14-38) on top of the TPU-native stack.
+
+  python main.py --model aread --dataset_name aliccp \
+      --data_path /root/reference/dataset ...
+
+Flow (reference main.py:64-76): load config -> (preprocessed CSV must
+exist; the bundled 3k-row samples work out of the box) -> train + eval.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import random
+
+import numpy as np
+
+from aread_tpu.config import Config, DOMAIN2GROUP
+
+
+def load_config() -> Config:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default="aread")
+    parser.add_argument("--dataset_name", default="aliccp")
+    parser.add_argument("--base_model", default="mmoe")
+    parser.add_argument("--seed", type=int, default=2000)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--bs", type=int, default=1024)
+    parser.add_argument("--epoch", type=int, default=10)
+    parser.add_argument("--embed_dim", type=int, default=32)
+    parser.add_argument("--prepare2train_month", type=int, default=12)
+    parser.add_argument("--domain_filter", default=None)
+    parser.add_argument("--group_strategy", default="dcn_3groups_kl")
+    # AREAD / HEMP
+    parser.add_argument("--update_lr", type=float, default=1e-2)
+    parser.add_argument("--aug_ratio", type=float, default=0.1)
+    parser.add_argument("--warm_up_interval", type=int, default=100)
+    parser.add_argument("--regroup_interval", type=int, default=2000)
+    parser.add_argument("--regroup_update_step", type=int, default=5)
+    parser.add_argument("--regroup_eval_step", type=int, default=5)
+    parser.add_argument("--candidate_mask_num", type=int, default=10)
+    parser.add_argument("--random_modify_sigma", type=float, default=0.2)
+    parser.add_argument("--init_active_percent", type=float, default=0.7)
+    # infra
+    parser.add_argument("--data_path", default="dataset")
+    parser.add_argument("--save_path", default="save")
+    parser.add_argument("--mesh_data", type=int, default=1)
+    parser.add_argument("--mesh_model", type=int, default=1)
+    args = parser.parse_args()
+
+    cfg_fields = {f.name for f in dataclasses.fields(Config)}
+    kwargs = {k: v for k, v in vars(args).items() if k in cfg_fields}
+    cfg = Config(**kwargs)
+    random.seed(cfg.seed)
+    np.random.seed(cfg.seed)
+    return cfg
+
+
+def preprocess_csv_path(cfg: Config) -> str:
+    base = os.path.join(cfg.data_path, cfg.dataset_name)
+    if cfg.dataset_name == "amazon":
+        return os.path.join(base, f"prepare2train_filter_{cfg.prepare2train_month}month.csv")
+    if cfg.dataset_name == "aliccp":
+        return os.path.join(base, "thresh15_ndomain30_modeinterval_random.csv")
+    if cfg.dataset_name == "cloudtheme":
+        return os.path.join(base, "kcore3_ndomain30_modeinterval_random_neg4.csv")
+    raise ValueError(cfg.dataset_name)
+
+
+def main():
+    cfg = load_config()
+    from aread_tpu.data.loader import load_split_data
+    from aread_tpu.models import build_model
+    from aread_tpu.models.aread import AREAD
+    from aread_tpu.train.hemp import AREADTrainer
+    from aread_tpu.train.trainer import Trainer
+
+    path = preprocess_csv_path(cfg)
+    is_aread = "aread" in cfg.model
+    aug_path = path.replace(".csv", f"_aug{cfg.aug_ratio}.csv") if is_aread else None
+    if aug_path is not None and not os.path.exists(aug_path):
+        aug_path = None
+    itemid_all = cfg.itemid_all if cfg.dataset_name == "amazon" else None
+    data = load_split_data(path, cfg.dataset_name, cfg.seq_maxlen,
+                           itemid_all=itemid_all, aug_path=aug_path,
+                           domain_filter=cfg.domain_filter)
+
+    print(f"model:{cfg.model}, lr:{cfg.lr}, bs:{cfg.bs}, embed_dim:"
+          f"{cfg.embed_dim}, epoch:{cfg.epoch}, seed:{cfg.seed}, "
+          f"dataset:{cfg.dataset_name}, n_domain:{data.n_domain}")
+
+    if is_aread and "wo" not in cfg.model:
+        model = build_model(cfg, data.spec, data.n_domain)
+        trainer = AREADTrainer(model, cfg, data.n_domain)
+        result = trainer.fit(data)
+    elif cfg.model == "mamdr":
+        # Reptile meta-training (the reference defines MamdrRun but never
+        # wires it to main.py — here it is reachable)
+        from aread_tpu.train.mamdr import MamdrTrainer
+        model = build_model(cfg, data.spec, data.n_domain)
+        trainer = MamdrTrainer(model, cfg, data.n_domain)
+        result = trainer.fit(data)
+    else:
+        d2g = None
+        try:
+            d2g = np.array(DOMAIN2GROUP[cfg.dataset_name][cfg.group_strategy])
+        except KeyError:
+            pass
+        model = build_model(cfg, data.spec, data.n_domain)
+        trainer = Trainer(model, cfg, data.n_domain, domain2group=d2g)
+        result = trainer.fit(data)
+
+    print("test:", {k: v for k, v in result["test"].items()
+                    if not isinstance(v, dict)})
+    if "mean_auc" in result["test"]:
+        print(f"test mean_auc: {result['test']['mean_auc']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

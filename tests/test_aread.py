@@ -1,0 +1,97 @@
+"""AREAD model + HEMP trainer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aread_tpu.config import Config
+from aread_tpu.data.loader import DomainBatcher, make_synthetic_data
+from aread_tpu.models.aread import AREAD, full_mask
+from aread_tpu.train.hemp import AREADTrainer
+from aread_tpu.utils.masks import create_single_full_mask, validate_mask
+
+N_TOWER = (2, 4, 8)
+
+
+def _model(spec, n_domain):
+    return AREAD(spec=spec, embed_dim=8, n_tower=N_TOWER, n_domain=n_domain,
+                 base_model="mmoe", expert_dims=(16, 8),
+                 tower_dims=((8, 8), (8, 8), (8, 8)), mmoe_n_expert=2)
+
+
+@pytest.fixture(scope="module")
+def aread_setup():
+    data = make_synthetic_data(n_rows=1024, n_domain=3, vocab=60, seed=1)
+    model = _model(data.spec, data.n_domain)
+    x = jnp.asarray(data.train_x[:16])
+    variables = jax.jit(
+        lambda r, xx: model.init({"params": r, "dropout": r}, xx, mode="wo_mask")
+    )(jax.random.PRNGKey(0), x)
+    return data, model, variables
+
+
+def test_wo_mask_forward(aread_setup):
+    data, model, variables = aread_setup
+    x = jnp.asarray(data.train_x[:16])
+    out = jax.jit(lambda v, xx: model.apply(v, xx, mode="wo_mask"))(variables, x)
+    assert out["prob"].shape == (16,)
+    assert out["leaf_prob"].shape == (16, N_TOWER[-1])
+    assert len(out["gate_means"]) == len(N_TOWER) - 1
+    assert out["gate_means"][0].shape == (N_TOWER[0], N_TOWER[1])
+    # mean over all leaves (aread.py:186)
+    np.testing.assert_allclose(np.asarray(out["prob"]),
+                               np.asarray(out["leaf_prob"]).mean(1), rtol=1e-5)
+
+
+def test_masked_forward_zeroes_inactive_leaves(aread_setup):
+    data, model, variables = aread_setup
+    x = jnp.asarray(data.train_x[:16])
+    rng = np.random.default_rng(0)
+    mask = [m.copy() for m in full_mask(N_TOWER)]
+    mask[-1][:4, 0] = False  # deactivate first 4 leaves' outputs
+    mask[-2][:, 0] = False   # and leaf 0's inputs
+    mask = validate_mask(mask)
+    dm = tuple(jnp.asarray(m) for m in mask)
+
+    out = jax.jit(lambda v, xx, d: model.apply(v, xx, domain_mask=d,
+                                               mode="domain_with_mask"))(variables, x, dm)
+    active = np.asarray(out["leaf_active"])
+    probs = np.asarray(out["leaf_prob"])
+    expect = (probs * active[None]).sum(1) / active.sum()
+    np.testing.assert_allclose(np.asarray(out["prob"]), expect, rtol=1e-5)
+
+
+def test_masked_equals_womask_under_full_mask(aread_setup):
+    """With an all-active mask, domain_with_mask must equal wo_mask apart
+    from the group embedding (we null it by zeroing the group table)."""
+    data, model, variables = aread_setup
+    x = jnp.asarray(data.train_x[:16])
+    params = dict(variables["params"])
+    params["group_embedding"] = jnp.zeros_like(params["group_embedding"])
+    v2 = {**variables, "params": params}
+    dm = tuple(jnp.asarray(m) for m in full_mask(N_TOWER))
+    out_full = model.apply(v2, x, domain_mask=dm, mode="domain_with_mask")
+    out_wo = model.apply(v2, x, mode="wo_mask")
+    np.testing.assert_allclose(np.asarray(out_full["prob"]),
+                               np.asarray(out_wo["prob"]), rtol=1e-4)
+
+
+def test_hemp_training_smoke():
+    """One epoch of the full AREAD/HEMP flow on a tiny setup: warm-up,
+    mask evolution, bagging steps, per-domain eval."""
+    data = make_synthetic_data(n_rows=768, n_domain=3, vocab=60, seed=2)
+    model = _model(data.spec, data.n_domain)
+    cfg = Config(model="aread", bs=128, lr=1e-3, embed_dim=8,
+                 warm_up_interval=1,       # -> 8 warm-up steps at bs=128
+                 regroup_interval=1,       # -> regroup every 8 steps
+                 regroup_update_step=2, regroup_eval_step=2,
+                 candidate_mask_num=2, epoch=1)
+    trainer = AREADTrainer(model, cfg, data.n_domain)
+    result = trainer.fit(data, epochs=1, verbose=False)
+    assert np.isfinite(result["history"][0]["train_loss"])
+    assert "total_auc" in result["test"]
+    # every domain received a mask with a live output path
+    for d in range(data.n_domain):
+        m = result["domain_mask"][d]
+        assert m is not None and m[-1].any()

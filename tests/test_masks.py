@@ -1,0 +1,98 @@
+"""HEMP mask machinery tests (generate/validate/prune semantics of
+reference aread.py:432-605)."""
+
+import numpy as np
+import pytest
+
+from aread_tpu.utils.masks import (HempMaskState, count_active_edge,
+                                   create_single_full_mask, edge_num,
+                                   gate_threshold, has_output, mask_shapes,
+                                   validate_mask)
+
+N_TOWER = (3, 6, 12)
+
+
+def test_edge_num_matches_reference_formula():
+    # aread.py:54: n0 + sum(n_{l-1}*n_l) + n_last
+    assert edge_num(N_TOWER) == 3 + 3 * 6 + 6 * 12 + 12
+
+
+def test_validate_mask_adds_io_edges():
+    rng = np.random.default_rng(0)
+    mask = create_single_full_mask(N_TOWER, 0, rng)
+    mask[1][0, 2] = True  # tower 0 (level0) -> tower 2 (level1)
+    mask[2][2, 5] = True  # level1 tower 2 -> level2 tower 5
+    valid = validate_mask(mask)
+    assert valid[0][0, 0]          # input edge added for live level-0 tower
+    assert valid[-1][5, 0]         # output edge added for live leaf
+    assert has_output(valid)
+
+
+def test_validate_mask_removes_dangling():
+    rng = np.random.default_rng(0)
+    mask = create_single_full_mask(N_TOWER, 0, rng)
+    mask[1][0, 1] = True  # level-1 tower 1 has input but no output
+    valid = validate_mask(mask)
+    assert not valid[1][:, 1].any()  # severed
+    assert not has_output(valid)
+
+
+def test_generate_rand_always_has_output():
+    st = HempMaskState(N_TOWER, n_domain=4, seed=0)
+    for _ in range(5):
+        m = st.generate_mask("rand", d=0, init_active_percent=0.5)
+        assert has_output(m)
+        shapes = [mm.shape for mm in m]
+        assert shapes == mask_shapes(N_TOWER)
+
+
+def test_mask_max_gate_uses_gate_values():
+    st = HempMaskState(N_TOWER, n_domain=2, seed=0)
+    # synthetic gate records: level1 gates [3,6], level2 gates [6,12]
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+        st.record_gates(0, [rng.random((3, 6)).astype(np.float32) * 0.2,
+                            rng.random((6, 12)).astype(np.float32) * 0.2])
+    m = st.generate_mask("mask_max_gate", d=0, init_active_percent=0.7,
+                         random_modify_sigma=0.1)
+    assert has_output(m)
+
+
+def test_mask_max_gate_empty_accumulator_falls_back_to_rand():
+    """A domain with no warm-up gate records must still get a valid mask
+    (reference falls back to the 'rand' path, aread.py:504-507)."""
+    st = HempMaskState(N_TOWER, n_domain=1, seed=0)
+    m = st.generate_mask("mask_max_gate", d=0, init_active_percent=0.7,
+                         random_modify_sigma=0.2)
+    assert has_output(m)
+
+
+def test_prune_reverts_if_output_dies():
+    st = HempMaskState(N_TOWER, n_domain=1, seed=0)
+    full = create_single_full_mask(N_TOWER, 1, np.random.default_rng(0))
+    # all gate values equal -> quantile threshold kills nothing at ratio 0
+    st.record_tmp_gates([np.full((3, 6), 0.5, np.float32),
+                         np.full((6, 12), 0.5, np.float32)], full)
+    pruned = st.prun_single_mask(0, full, prun_ratio=0.05)
+    assert has_output(pruned)
+
+
+def test_update_all_mask_selects_lowest_loss():
+    st = HempMaskState(N_TOWER, n_domain=1, seed=0)
+    rng = np.random.default_rng(0)
+    m_good = create_single_full_mask(N_TOWER, 1, rng)
+    m_bad = create_single_full_mask(N_TOWER, 1, rng)
+    m_bad[0][0, 0] = False  # distinguishable
+    st.candidate_domain_mask[0] = [m_bad, m_good]
+    st.add_eval_loss(0.9, 0, 0)
+    st.add_eval_loss(0.1, 0, 1)
+    st.update_all_mask()
+    assert st.domain_mask[0][0][0, 0]  # picked m_good (index 1)
+
+
+def test_gate_threshold_quantile():
+    mv = [np.zeros((1, 3)), np.array([[0.1, 0.2, 0.3]] * 3, np.float32).reshape(3, 3),
+          np.zeros((3, 1))]
+    thr = gate_threshold(mv, active_percent=1.0 / 3)
+    # quantile(1 - 1/3) over [0.1 .. 0.3]*3
+    assert 0.1 < thr <= 0.3
