@@ -105,9 +105,12 @@ def load_split_data(
     split_col = "timestamp" if dataset_name == "amazon" else "train_tag"
     usecols = one_hot_cols + seq_cols + [label_col, split_col]
     df = pd.read_csv(path, usecols=usecols)
+    aug_df = pd.read_csv(aug_path, usecols=usecols) if aug_path is not None else None
 
     if domain_filter is not None:
         df = df.loc[df["domain"].isin(list(domain_filter))].copy()
+        if aug_df is not None:
+            aug_df = aug_df.loc[aug_df["domain"].isin(list(domain_filter))].copy()
 
     if dataset_name == "amazon":
         train_valid = df[split_col].quantile(0.9)
@@ -118,6 +121,13 @@ def load_split_data(
     itemid_idx = one_hot_cols.index("itemid")
     domain_idx = one_hot_cols.index("domain")
     one_hot_dims = (df[one_hot_cols].max(axis=0).to_numpy() + 1).astype(np.int64)
+    if aug_df is not None:
+        # the augmented file is train-time input, so the vocab must cover it
+        # too (the reference sizes vocabs from the main file only,
+        # run.py:154, and would IndexError on any aug id beyond it — the
+        # bundled sample pair actually contains such ids)
+        aug_dims = (aug_df[one_hot_cols].max(axis=0).to_numpy() + 1).astype(np.int64)
+        one_hot_dims = np.maximum(one_hot_dims, aug_dims)
     if dataset_name == "amazon" and itemid_all is not None:
         one_hot_dims[itemid_idx] = itemid_all
     pad_value = int(one_hot_dims[itemid_idx] - 1) if itemid_all is None else int(itemid_all)
@@ -151,10 +161,7 @@ def load_split_data(
     domain_cnt_weight = cnt / max(1, train_x.shape[0])
 
     aug_x = aug_y = None
-    if aug_path is not None:
-        aug_df = pd.read_csv(aug_path, usecols=usecols)
-        if domain_filter is not None:
-            aug_df = aug_df.loc[aug_df["domain"].isin(list(domain_filter))].copy()
+    if aug_df is not None:
         aug_df = aug_df[aug_df[split_col] < train_valid]
         aug_x, aug_y = tensorize(aug_df, one_hot_cols, seq_cols, label_col, seq_maxlen, pad_value)
 

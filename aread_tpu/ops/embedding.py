@@ -82,7 +82,11 @@ class FeaturesEmbedding(nn.Module):
         table = self.param("table", embedding_init, (self.n_rows, self.embed_dim), self.param_dtype)
         offsets = compute_offsets(self.one_hot_dims, self.multi_hot_slots, self.itemid_idx)
         ids = x + jnp.asarray(offsets, dtype=x.dtype)[None, :]
-        embed_x = jnp.take(table, ids, axis=0)  # [B, F_total, E]
+        # mode='clip': jnp.take's default out-of-bounds behavior is NaN-fill,
+        # which silently poisons training if an id exceeds its field vocab
+        # (the torch reference IndexErrors in that case). Clipping keeps the
+        # lookup total and finite; vocab sizing is the loader's contract.
+        embed_x = jnp.take(table, ids, axis=0, mode="clip")  # [B, F_total, E]
 
         if self.multi_hot_field_num > 0 and self.method in ("mean", "sum"):
             n_one = self.one_hot_field_num

@@ -1,0 +1,93 @@
+"""Checkpoint / resume.
+
+Reference behavior (run.py:459-484, 835-840): torch.save of {epoch,
+state_dict, optimizer, best metrics, preprocess_path, domain_mask} on every
+improvement; reload best for test; ``is_increment`` warm-starts from a
+previous checkpoint.
+
+Here: Orbax for the array pytrees (params / BN stats / opt_state), a JSON
+sidecar for scalars, and .npy-packed HEMP domain masks + schedule state —
+everything needed to resume an AREAD run mid-training (params, opt state,
+masks, HEMP sigma/active%/candidate schedule, RNG key).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+import orbax.checkpoint as ocp
+
+
+def _mask_to_flat(domain_mask) -> Dict[str, np.ndarray]:
+    out = {}
+    for d, mask in enumerate(domain_mask):
+        if mask is None:
+            continue
+        for li, m in enumerate(mask):
+            out[f"d{d}_l{li}"] = np.asarray(m)
+    return out
+
+
+def _mask_from_flat(flat: Dict[str, np.ndarray], n_domain: int) -> List:
+    masks: List[Optional[List[np.ndarray]]] = [None] * n_domain
+    for d in range(n_domain):
+        levels = sorted((k for k in flat if k.startswith(f"d{d}_l")),
+                        key=lambda k: int(k.split("_l")[1]))
+        if levels:
+            masks[d] = [np.asarray(flat[k]).astype(bool) for k in levels]
+    return masks
+
+
+def save_checkpoint(path: str, params, state, opt_state,
+                    epoch: int, best_result: Optional[Dict] = None,
+                    domain_mask=None, hemp_schedule: Optional[Dict] = None,
+                    rng_key=None):
+    """Write a full training checkpoint to ``path`` (a directory)."""
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    ckptr = ocp.PyTreeCheckpointer()
+    tree: Dict[str, Any] = {
+        "params": jax.tree_util.tree_map(np.asarray, params),
+        "state": jax.tree_util.tree_map(np.asarray, state),
+        "opt_state": jax.tree_util.tree_map(np.asarray, opt_state),
+    }
+    if rng_key is not None:
+        tree["rng_key"] = np.asarray(rng_key)
+    if domain_mask is not None:
+        tree["domain_mask"] = _mask_to_flat(domain_mask)
+    arrays_dir = os.path.join(path, "arrays")
+    if os.path.exists(arrays_dir):
+        import shutil
+        shutil.rmtree(arrays_dir)
+    ckptr.save(arrays_dir, tree)
+    meta = {"epoch": epoch}
+    if best_result is not None:
+        meta["best_result"] = {
+            k: (float(v) if isinstance(v, (int, float, np.floating)) else None)
+            for k, v in best_result.items() if not isinstance(v, dict)}
+    if hemp_schedule is not None:
+        meta["hemp_schedule"] = hemp_schedule
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_checkpoint(path: str, n_domain: Optional[int] = None) -> Dict:
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.restore(os.path.join(path, "arrays"))
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    out = dict(meta)
+    out["params"] = tree["params"]
+    out["state"] = tree.get("state", {})
+    out["opt_state"] = tree.get("opt_state")
+    if "rng_key" in tree:
+        out["rng_key"] = tree["rng_key"]
+    if "domain_mask" in tree and n_domain is not None:
+        out["domain_mask"] = _mask_from_flat(tree["domain_mask"], n_domain)
+    return out

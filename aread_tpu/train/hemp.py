@@ -214,9 +214,13 @@ class AREADTrainer:
                 fparams, fstate = self._restore(snap)
                 fast_opt_state = self.fast_optimizer.init(fparams)
                 rng, srng = jax.random.split(rng)
+                # fall back to original train data for domains the augmented
+                # file doesn't cover (possible for tiny subsamples)
+                fa_batcher = aug_batcher if len(aug_batcher.domain_indices[d]) \
+                    else train_batcher
                 for s in range(cfg.regroup_update_step):
                     batch = {k: jnp.asarray(v)
-                             for k, v in aug_batcher.next_batch(d).items()}
+                             for k, v in fa_batcher.next_batch(d).items()}
                     srng, step_rng = jax.random.split(srng)
                     fparams, fstate, fast_opt_state, loss, gms = fns["fast_step"](
                         fparams, fstate, fast_opt_state, batch,

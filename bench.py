@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import time
+from functools import partial
 
 import numpy as np
 
@@ -66,7 +67,7 @@ def main():
     opt_state = optimizer.init(params)
     reg_rules = type(model).REG_RULES
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, state, opt_state, x, y, valid, dm, rng):
         def loss_fn(p):
             out, new_state = model.apply(
@@ -85,18 +86,17 @@ def main():
         return (optax.apply_updates(params, updates), dict(new_state),
                 new_opt_state, loss)
 
-    key = jax.random.PRNGKey(1)
+    n_steps = 50
+    keys = jax.random.split(jax.random.PRNGKey(1), n_steps + 1)
     # warmup / compile
     params, state, opt_state, loss = step(params, state, opt_state, x, y,
-                                          valid, dm, key)
+                                          valid, dm, keys[-1])
     jax.block_until_ready(params)
 
-    n_steps = 30
     t0 = time.perf_counter()
     for i in range(n_steps):
-        key, sk = jax.random.split(key)
         params, state, opt_state, loss = step(params, state, opt_state, x, y,
-                                              valid, dm, sk)
+                                              valid, dm, keys[i])
     jax.block_until_ready(params)
     dt = time.perf_counter() - t0
     eps = bs * n_steps / dt
