@@ -51,6 +51,8 @@ class ADL(CTRModel):
     REG_RULES: ClassVar = BASE_REG_RULES + (
         (r"^domain_mlps/.*kernel$", 1e-5),
         (r"^shared_mlps/.*kernel$", 1e-5),
+        # MLP BN scales are reg'd by the reference filter (see deepfm.py)
+        (r"^(domain_mlps|shared_mlps)/bn_\d+/scale$", 1e-5),
         (r"^cn/w_\d+$", 1e-5),
     )
 

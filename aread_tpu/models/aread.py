@@ -84,6 +84,8 @@ class AREAD(CTRModel):
         (r"^mmoe_experts/.*kernel$", 1e-5),
         (r"^cgc_\d+/.*kernel$", 1e-5),
         (r"^towers_\d+/.*kernel$", 1e-5),
+        # MLP BN scales are reg'd by the reference filter (see deepfm.py)
+        (r"^(mmoe_experts|towers_\d+)/bn_\d+/scale$", 1e-5),
         (r"^cn/w_\d+$", 1e-5),
     )
 

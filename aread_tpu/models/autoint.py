@@ -23,7 +23,11 @@ class AutoInt(CTRModel):
     mlp_dims: Tuple[int, ...] = (256, 128, 64)
     dropout: float = 0.2
 
-    REG_RULES: ClassVar = BASE_REG_RULES + ((r"^dnn/.*/kernel$", 1e-5),)
+    REG_RULES: ClassVar = BASE_REG_RULES + (
+        (r"^dnn/.*/kernel$", 1e-5),
+        # MLP BN scales are reg'd by the reference filter (see deepfm.py)
+        (r"^dnn/bn_\d+/scale$", 1e-5),
+    )
 
     @nn.compact
     def __call__(self, x, group=None, train: bool = False, mask=None):

@@ -21,6 +21,8 @@ class DCN(CTRModel):
 
     REG_RULES: ClassVar = BASE_REG_RULES + (
         (r"^mlp/.*/kernel$", 1e-5),
+        # MLP BN scales are reg'd by the reference filter (see deepfm.py)
+        (r"^mlp/bn_\d+/scale$", 1e-5),
         (r"^cn/w_\d+$", 1e-5),
     )
 

@@ -26,6 +26,8 @@ class DCNv2(CTRModel):
 
     REG_RULES: ClassVar = BASE_REG_RULES + (
         (r"^dnn/.*/kernel$", 1e-5),
+        # MLP BN scales are reg'd by the reference filter (see deepfm.py)
+        (r"^dnn/bn_\d+/scale$", 1e-5),
         (r"^dnn_linear/kernel$", 1e-5),
         (r"^crossnet/(u|v|c)_\d+$", 1e-5),
     )

@@ -18,7 +18,13 @@ class DeepFM(CTRModel):
     mlp_dims: Tuple[int, ...] = (256, 128)
     dropout: float = 0.2
 
-    REG_RULES: ClassVar = BASE_REG_RULES + ((r"^mlp/.*/kernel$", 1e-5),)
+    REG_RULES: ClassVar = BASE_REG_RULES + (
+        (r"^mlp/.*/kernel$", 1e-5),
+        # BN scales inside MultiLayerPerceptron ARE regularized by the
+        # reference: its 'bn' not-in-name filter never matches the
+        # ModuleList paths layers.N.weight (dfm.py:27, layer.py:203-218)
+        (r"^mlp/bn_\d+/scale$", 1e-5),
+    )
 
     @nn.compact
     def __call__(self, x, group=None, train: bool = False, mask=None):

@@ -65,6 +65,10 @@ class HiNet(CTRModel):
         (r"^shared_sei/.*kernel$", 1e-5),
         (r"^san_gate/kernel$", 1e-5),
         (r"^tower/.*/kernel$", 1e-5),
+        # SEI-expert / tower MLP BN scales are reg'd by the reference
+        # filter (see deepfm.py)
+        (r"^(specific_seis|shared_sei)/experts/bn_\d+/scale$", 1e-5),
+        (r"^tower/bn_\d+/scale$", 1e-5),
         (r"^cn/w_\d+$", 1e-5),
     )
 

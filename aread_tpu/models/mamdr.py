@@ -18,7 +18,11 @@ class MAMDR(CTRModel):
     mlp_dims: Tuple[int, ...] = (256, 128)
     dropout: float = 0.2
 
-    REG_RULES: ClassVar = BASE_REG_RULES + ((r"^mlp/.*/kernel$", 1e-5),)
+    REG_RULES: ClassVar = BASE_REG_RULES + (
+        (r"^mlp/.*/kernel$", 1e-5),
+        # MLP BN scales are reg'd by the reference filter (see deepfm.py)
+        (r"^mlp/bn_\d+/scale$", 1e-5),
+    )
 
     @nn.compact
     def __call__(self, x, group=None, train: bool = False, mask=None):

@@ -46,6 +46,8 @@ class MMoE(CTRModel):
     REG_RULES: ClassVar = BASE_REG_RULES + (
         (r"^experts/.*/kernel$", 1e-5),
         (r"^towers/.*/kernel$", 1e-5),
+        # MLP BN scales are reg'd by the reference filter (see deepfm.py)
+        (r"^(experts|towers)/bn_\d+/scale$", 1e-5),
         (r"^cn/w_\d+$", 1e-5),
     )
 

@@ -82,6 +82,9 @@ class PEPNet(CTRModel):
         (r"^epnet/.*kernel$", 1e-5),
         (r"^ppnet/.*kernel", 1e-5),
         (r"^towers/.*kernel$", 1e-5),
+        # PPNet dense-block / tower-MLP BN scales are reg'd by the
+        # reference filter (see deepfm.py; pepnet.py:158 BatchNorm1d)
+        (r"^(ppnet|towers)/bn_\d+/scale$", 1e-5),
         (r"^cn/w_\d+$", 1e-5),
     )
 

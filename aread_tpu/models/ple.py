@@ -85,6 +85,9 @@ class PLE(CTRModel):
     REG_RULES: ClassVar = BASE_REG_RULES + (
         (r"^cgc_\d+/.*kernel$", 1e-5),
         (r"^towers/.*/kernel$", 1e-5),
+        # tower MLP BN scales are reg'd by the reference filter (see
+        # deepfm.py); CGC experts use bn=False (ple.py:87-90)
+        (r"^towers/bn_\d+/scale$", 1e-5),
         (r"^cn/w_\d+$", 1e-5),
     )
 
