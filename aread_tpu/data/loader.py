@@ -28,6 +28,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 import pandas as pd
 
+from aread_tpu import native
 from aread_tpu.models.base import FeatureSpec
 
 AMAZON_FEATURES = [
@@ -91,6 +92,23 @@ def tensorize(df: pd.DataFrame, one_hot_cols: Sequence[str], seq_cols: Sequence[
     return x, y
 
 
+def _read_arrays(path: str, one_hot_cols: Sequence[str], seq_cols: Sequence[str],
+                 label_col: str, split_col: str, seq_maxlen: int,
+                 pad_value: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(x, y, split) for one CSV: the native C++ parser when available
+    (aread_tpu.native — one multi-threaded pass), pandas otherwise."""
+    if native.available():
+        try:
+            return native.load_csv(path, one_hot_cols, seq_cols, label_col,
+                                   split_col, seq_maxlen, pad_value)
+        except RuntimeError:
+            pass  # fall back to pandas (e.g. malformed file)
+    df = pd.read_csv(path, usecols=list(one_hot_cols) + list(seq_cols)
+                     + [label_col, split_col])
+    x, y = tensorize(df, one_hot_cols, seq_cols, label_col, seq_maxlen, pad_value)
+    return x, y, df[split_col].to_numpy(dtype=np.float64)
+
+
 def load_split_data(
     path: str,
     dataset_name: str,
@@ -103,30 +121,45 @@ def load_split_data(
 ) -> SplitData:
     one_hot_cols, seq_cols, label_col = dataset_columns(dataset_name, history, only_id)
     split_col = "timestamp" if dataset_name == "amazon" else "train_tag"
-    usecols = one_hot_cols + seq_cols + [label_col, split_col]
-    df = pd.read_csv(path, usecols=usecols)
-    aug_df = pd.read_csv(aug_path, usecols=usecols) if aug_path is not None else None
+    n_one = len(one_hot_cols)
 
-    if domain_filter is not None:
-        df = df.loc[df["domain"].isin(list(domain_filter))].copy()
-        if aug_df is not None:
-            aug_df = aug_df.loc[aug_df["domain"].isin(list(domain_filter))].copy()
-
-    if dataset_name == "amazon":
-        train_valid = df[split_col].quantile(0.9)
-        valid_test = df[split_col].quantile(0.95)
+    # When no global item vocab is configured the pad id is only known
+    # after scanning the data; parse with a -1 sentinel and substitute
+    # below (ids are non-negative, so -1 can only mean padding).
+    pad0 = int(itemid_all) if itemid_all is not None else -1
+    x, y, split = _read_arrays(path, one_hot_cols, seq_cols, label_col,
+                               split_col, seq_maxlen, pad0)
+    if aug_path is not None:
+        aug_x_all, aug_y_all, aug_split = _read_arrays(
+            aug_path, one_hot_cols, seq_cols, label_col, split_col,
+            seq_maxlen, pad0)
     else:
-        train_valid, valid_test = 1, 2
+        aug_x_all = aug_y_all = aug_split = None
 
     itemid_idx = one_hot_cols.index("itemid")
     domain_idx = one_hot_cols.index("domain")
-    one_hot_dims = (df[one_hot_cols].max(axis=0).to_numpy() + 1).astype(np.int64)
-    if aug_df is not None:
+
+    if domain_filter is not None:
+        keep = np.isin(x[:, domain_idx], list(domain_filter))
+        x, y, split = x[keep], y[keep], split[keep]
+        if aug_x_all is not None:
+            keep = np.isin(aug_x_all[:, domain_idx], list(domain_filter))
+            aug_x_all, aug_y_all, aug_split = (
+                aug_x_all[keep], aug_y_all[keep], aug_split[keep])
+
+    if dataset_name == "amazon":
+        train_valid = np.quantile(split, 0.9)
+        valid_test = np.quantile(split, 0.95)
+    else:
+        train_valid, valid_test = 1, 2
+
+    one_hot_dims = (x[:, :n_one].max(axis=0).astype(np.int64) + 1)
+    if aug_x_all is not None:
         # the augmented file is train-time input, so the vocab must cover it
         # too (the reference sizes vocabs from the main file only,
         # run.py:154, and would IndexError on any aug id beyond it — the
         # bundled sample pair actually contains such ids)
-        aug_dims = (aug_df[one_hot_cols].max(axis=0).to_numpy() + 1).astype(np.int64)
+        aug_dims = aug_x_all[:, :n_one].max(axis=0).astype(np.int64) + 1
         one_hot_dims = np.maximum(one_hot_dims, aug_dims)
     if dataset_name == "amazon" and itemid_all is not None:
         one_hot_dims[itemid_idx] = itemid_all
@@ -137,6 +170,10 @@ def load_split_data(
         # itself one past the max item id, config.py:7).
         one_hot_dims[itemid_idx] += 1
         pad_value = int(one_hot_dims[itemid_idx] - 1)
+    if pad0 == -1 and seq_cols:
+        x[x == -1] = pad_value
+        if aug_x_all is not None:
+            aug_x_all[aug_x_all == -1] = pad_value
 
     spec = FeatureSpec(
         one_hot_dims=tuple(int(d) for d in one_hot_dims),
@@ -146,24 +183,23 @@ def load_split_data(
         seq_maxlen=seq_maxlen,
         method="mean",
     )
-    n_domain = int(df["domain"].nunique())
+    n_domain = int(np.unique(x[:, domain_idx]).size)
 
-    train_df = df[df[split_col] < train_valid]
-    valid_df = df[(df[split_col] >= train_valid) & (df[split_col] < valid_test)]
-    test_df = df[df[split_col] >= valid_test]
-
-    train_x, train_y = tensorize(train_df, one_hot_cols, seq_cols, label_col, seq_maxlen, pad_value)
-    valid_x, valid_y = tensorize(valid_df, one_hot_cols, seq_cols, label_col, seq_maxlen, pad_value)
-    test_x, test_y = tensorize(test_df, one_hot_cols, seq_cols, label_col, seq_maxlen, pad_value)
+    tr = split < train_valid
+    va = (split >= train_valid) & (split < valid_test)
+    te = split >= valid_test
+    train_x, train_y = x[tr], y[tr]
+    valid_x, valid_y = x[va], y[va]
+    test_x, test_y = x[te], y[te]
 
     domain_vals = train_x[:, domain_idx]
     cnt = np.bincount(domain_vals, minlength=n_domain).astype(np.float64)
     domain_cnt_weight = cnt / max(1, train_x.shape[0])
 
     aug_x = aug_y = None
-    if aug_df is not None:
-        aug_df = aug_df[aug_df[split_col] < train_valid]
-        aug_x, aug_y = tensorize(aug_df, one_hot_cols, seq_cols, label_col, seq_maxlen, pad_value)
+    if aug_x_all is not None:
+        keep = aug_split < train_valid
+        aug_x, aug_y = aug_x_all[keep], aug_y_all[keep]
 
     return SplitData(
         train_x=train_x, train_y=train_y,

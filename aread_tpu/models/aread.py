@@ -171,27 +171,28 @@ class AREAD(CTRModel):
 
         outs = None
         for l in range(self.n_level):
-            T_l = self.n_tower[l]
-            act = active[l].astype(flat.dtype)  # [T_l]
-            if l == 0:
-                level_in = tower_inputs * act[None, :, None]
-            else:
-                gl = StackedLinear(T_l, self.n_tower[l - 1],
-                                   name=f"tower_gates_{l}")(gate_inputs_body)
-                gate_out = nn.softmax(gl, axis=-1)  # [B, T_l, T_{l-1}]
-                edge_mask = dm[l].T.astype(flat.dtype)  # [T_l, T_{l-1}]
-                masked = gate_out * edge_mask[None]
-                renorm = masked / (jnp.sum(masked, axis=-1, keepdims=True) + 1e-8)
-                level_in = jnp.einsum("btp,bpd->btd", renorm, outs)
-                # recorded value = mean_B(gate_out * edge_mask) (aread.py:291-295)
-                gm = jnp.mean(masked, axis=0)  # [T_l, T_{l-1}]
-                gate_means.append(jax.lax.stop_gradient(gm.T))  # [T_{l-1}, T_l]
-            body = StackedMLP(T_l, self.tower_dims[l], self.dropout,
-                              name=f"towers_{l}")(
-                level_in, train=train, mask=mask, tower_gate=active[l])
-            if mode == "domain_mask_final":
-                body = jax.lax.stop_gradient(body)
-            outs = body * act[None, :, None]  # zero inactive towers
+            with jax.named_scope(f"hei_level_{l}"):
+                T_l = self.n_tower[l]
+                act = active[l].astype(flat.dtype)  # [T_l]
+                if l == 0:
+                    level_in = tower_inputs * act[None, :, None]
+                else:
+                    gl = StackedLinear(T_l, self.n_tower[l - 1],
+                                       name=f"tower_gates_{l}")(gate_inputs_body)
+                    gate_out = nn.softmax(gl, axis=-1)  # [B, T_l, T_{l-1}]
+                    edge_mask = dm[l].T.astype(flat.dtype)  # [T_l, T_{l-1}]
+                    masked = gate_out * edge_mask[None]
+                    renorm = masked / (jnp.sum(masked, axis=-1, keepdims=True) + 1e-8)
+                    level_in = jnp.einsum("btp,bpd->btd", renorm, outs)
+                    # recorded value = mean_B(gate_out * edge_mask) (aread.py:291-295)
+                    gm = jnp.mean(masked, axis=0)  # [T_l, T_{l-1}]
+                    gate_means.append(jax.lax.stop_gradient(gm.T))  # [T_{l-1}, T_l]
+                body = StackedMLP(T_l, self.tower_dims[l], self.dropout,
+                                  name=f"towers_{l}")(
+                    level_in, train=train, mask=mask, tower_gate=active[l])
+                if mode == "domain_mask_final":
+                    body = jax.lax.stop_gradient(body)
+                outs = body * act[None, :, None]  # zero inactive towers
 
         # ----- leaves: per-leaf linear over [cn_out || leaf_out] + shared
         # first-order logit (aread.py:119-121, 184-185, 303-310)

@@ -52,15 +52,23 @@ def _adam_kernel(scal_ref, w_ref, m_ref, v_ref, g_ref, ow_ref, om_ref, ov_ref):
     ov_ref[:] = v
 
 
+def default_interpret() -> bool:
+    """Pallas TPU kernels need interpret mode on the CPU backend (tests /
+    the virtual multi-chip mesh run on forced-CPU platforms)."""
+    return jax.default_backend() != "tpu"
+
+
 def fused_adam_update(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
                       g: jnp.ndarray, t: jnp.ndarray,
                       lr: float, b1: float = 0.9, b2: float = 0.99,
                       eps: float = 1e-8, weight_decay: float = 1e-8,
-                      l2: float = 0.0, interpret: bool = False
+                      l2: float = 0.0, interpret: bool = None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused Adam step on an arbitrary-shape array (tiled as a flat
     [N/128, 128] view; tail padded). ``t`` is the 1-based step count
     (scalar int array). Returns (w, m, v); safe to donate inputs."""
+    if interpret is None:
+        interpret = default_interpret()
     shape, dtype = w.shape, w.dtype
     n = int(np.prod(shape))
     cols = LANES

@@ -32,7 +32,11 @@ from aread_tpu.data.loader import DomainBatcher, SplitData
 from aread_tpu.models.aread import AREAD
 from aread_tpu.models.base import regularization_loss
 from aread_tpu.train import metrics as metrics_lib
-from aread_tpu.train.trainer import bce_with_logits, make_optimizer, masked_mean, split_variables
+from aread_tpu.train.trainer import (bce_with_logits, hybrid_init,
+                                      hybrid_update, make_optimizer,
+                                      masked_mean, split_variables,
+                                      strip_table_rule, table_reg_value)
+from aread_tpu.utils import profiling
 from aread_tpu.utils.masks import HempMaskState, mask_shapes
 
 
@@ -58,12 +62,16 @@ class AREADTrainer:
         self.best_auc, self.best_mean_auc = 0.0, 0.0
         self.best_checkpoint = None
         self._fns = None
+        self.step_timer = profiling.StepTimer()
 
     # ------------------------------------------------------------- jitted
     def _build_fns(self):
         model = self.model
-        reg_rules = type(model).REG_RULES
+        # table L2 gradient folds into the fused Adam pass (hybrid_update);
+        # its value is reported via table_reg_value (trainer.py)
+        reg_rules = strip_table_rule(type(model).REG_RULES)
         main_opt, fast_opt = self.optimizer, self.fast_optimizer
+        cfg = self.config
 
         def bagging_loss(p, state, batch, dm, rng, mode):
             out, new_state = model.apply(
@@ -85,17 +93,44 @@ class AREADTrainer:
                     in_axes=1)(out["leaf_logit"])  # [T_last]
                 la = out["leaf_active"].astype(per_leaf.dtype)
                 bce = jnp.sum(per_leaf * la) / jnp.maximum(la.sum(), 1e-8)
-            loss = bce + regularization_loss(p, reg_rules)
+            loss = bce + regularization_loss(p, reg_rules) \
+                + table_reg_value(p["embedding"]["table"])
             return loss, (new_state, out["gate_means"])
 
-        def make_step(opt, mode):
+        def make_step(opt, opt_lr, mode):
             def step(params, state, opt_state, batch, dm, rng):
                 (loss, (new_state, gms)), grads = jax.value_and_grad(
                     bagging_loss, has_aux=True)(params, state, batch, dm, rng, mode)
-                updates, new_opt_state = opt.update(grads, opt_state, params)
-                new_params = optax.apply_updates(params, updates)
+                new_params, new_opt_state = hybrid_update(
+                    opt, opt_lr, cfg.wd, params, grads, opt_state)
                 return new_params, dict(new_state), new_opt_state, loss, gms
-            return jax.jit(step)
+            return jax.jit(step, donate_argnums=(0, 1, 2))
+
+        def make_scan(opt, opt_lr, mode):
+            """SCAN_CHUNK steps in one device dispatch — a python step
+            loop pays ~8-30 ms host dispatch per step on this image's
+            tunneled TPU. ``batches``/``dms`` carry a leading [S] axis;
+            per-step gate means come back stacked for host recording."""
+            def step(params, state, opt_state, batch, dm, rng):
+                (loss, (new_state, gms)), grads = jax.value_and_grad(
+                    bagging_loss, has_aux=True)(params, state, batch, dm, rng, mode)
+                new_params, new_opt_state = hybrid_update(
+                    opt, opt_lr, cfg.wd, params, grads, opt_state)
+                return new_params, dict(new_state), new_opt_state, loss, gms
+
+            def scan_fn(params, state, opt_state, batches, dms, rng):
+                def body(carry, inp):
+                    params, state, opt_state, rng = carry
+                    batch, dm = inp
+                    rng, srng = jax.random.split(rng)
+                    params, state, opt_state, loss, gms = step(
+                        params, state, opt_state, batch, dm, srng)
+                    return (params, state, opt_state, rng), (loss, gms)
+
+                (params, state, opt_state, rng), (losses, gms) = jax.lax.scan(
+                    body, (params, state, opt_state, rng), (batches, dms))
+                return params, state, opt_state, rng, losses, gms
+            return jax.jit(scan_fn, donate_argnums=(0, 1, 2))
 
         @jax.jit
         def eval_loss_step(params, state, batch, dm):
@@ -106,7 +141,8 @@ class AREADTrainer:
             prob = jnp.clip(out["prob"], 1e-7, 1 - 1e-7)
             bce = masked_mean(-(batch["y"] * jnp.log(prob)
                                 + (1 - batch["y"]) * jnp.log1p(-prob)), batch["valid"])
-            return bce + regularization_loss(params, reg_rules)
+            return bce + regularization_loss(params, reg_rules) \
+                + table_reg_value(params["embedding"]["table"])
 
         @jax.jit
         def eval_prob_step(params, state, batch, dm):
@@ -115,9 +151,11 @@ class AREADTrainer:
             return out["prob"]
 
         self._fns = {
-            "main_step": make_step(main_opt, "domain_mask_bagging"),
-            "fast_step": make_step(fast_opt, "domain_mask_bagging"),
-            "warmup_step": make_step(main_opt, "wo_mask"),
+            "main_step": make_step(main_opt, cfg.lr, "domain_mask_bagging"),
+            "main_scan": make_scan(main_opt, cfg.lr, "domain_mask_bagging"),
+            "fast_step": make_step(fast_opt, cfg.update_lr, "domain_mask_bagging"),
+            "warmup_step": make_step(main_opt, cfg.lr, "wo_mask"),
+            "warmup_scan": make_scan(main_opt, cfg.lr, "wo_mask"),
             "eval_loss": eval_loss_step,
             "eval_prob": eval_prob_step,
         }
@@ -140,10 +178,12 @@ class AREADTrainer:
                                     domain_mask=None, mode="wo_mask", train=False)
         )(rng, jnp.asarray(sample_batch["x"]))
         params, state = split_variables(variables)
-        opt_state = self.optimizer.init(params)
+        opt_state = hybrid_init(self.optimizer, params)
         return params, state, opt_state
 
     # ------------------------------------------------------------ epochs
+    SCAN_CHUNK = 32
+
     def train_epoch(self, params, state, opt_state, epoch_i: int,
                     train_batcher: DomainBatcher, aug_batcher: DomainBatcher,
                     rng, verbose: bool = True):
@@ -153,39 +193,83 @@ class AREADTrainer:
         warm_up_interval = (cfg.warm_up_interval * 1024) // cfg.bs
         regroup_interval = max(1, (cfg.regroup_interval * 1024) // cfg.bs)
 
+        losses: List[float] = []
+
+        def flush(params, state, opt_state, rng, scan_fn, step_fn, pending):
+            """Run the pending [(d, batch_np, mask, record)] steps on
+            device — one lax.scan dispatch for a full chunk, single jitted
+            steps for partial chunks (a scan per distinct length would
+            recompile, and compiles over this image's TPU tunnel cost
+            minutes). Flagged per-step gate means are recorded after."""
+            if len(pending) == self.SCAN_CHUNK:
+                batches = {k: jnp.asarray(np.stack([p[1][k] for p in pending]))
+                           for k in pending[0][1]}
+                dms = tuple(jnp.asarray(np.stack([np.asarray(p[2][l]) for p in pending]))
+                            for l in range(len(pending[0][2])))
+                n_ex = int(sum(p[1]["valid"].sum() for p in pending))
+                with self.step_timer.step(n_examples=n_ex):
+                    params, state, opt_state, rng, ls, gms = scan_fn(
+                        params, state, opt_state, batches, dms, rng)
+                losses.extend(np.asarray(ls).tolist())
+                gms_np = [np.asarray(g) for g in gms]  # each [S, T_prev, T_l]
+                for i, (d, _, _, record) in enumerate(pending):
+                    if record:
+                        ms.record_gates(d, [g[i] for g in gms_np])
+                return params, state, opt_state, rng
+            for d, batch_np, mask, record in pending:
+                batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+                rng, srng = jax.random.split(rng)
+                with self.step_timer.step(n_examples=int(batch_np["valid"].sum())):
+                    params, state, opt_state, loss, gms = step_fn(
+                        params, state, opt_state, batch, _to_device_mask(mask), srng)
+                losses.append(float(loss))
+                if record:
+                    ms.record_gates(d, [np.asarray(g) for g in gms])
+            return params, state, opt_state, rng
+
         if epoch_i == 0:
             # -------- warm-up: round-robin domains in wo_mask with gate
-            # recording (run.py:588-607)
+            # recording (run.py:588-607), chunked into device scans
+            full = [np.ones(sh, bool) for sh in mask_shapes(self.model.n_tower)]
             domain_list: List[int] = []
+            pending = []
             for i in range(warm_up_interval):
                 if not domain_list:
                     domain_list = list(range(self.n_domain))
                 d = domain_list.pop()
-                batch = {k: jnp.asarray(v) for k, v in train_batcher.next_batch(d).items()}
-                rng, srng = jax.random.split(rng)
-                dm = _to_device_mask([np.ones(s, bool)
-                                      for s in mask_shapes(self.model.n_tower)])
-                params, state, opt_state, loss, gms = fns["warmup_step"](
-                    params, state, opt_state, batch, dm, srng)
-                ms.record_gates(d, [np.asarray(g) for g in gms])
+                pending.append((d, train_batcher.next_batch(d), full, True))
+                if len(pending) == self.SCAN_CHUNK:
+                    params, state, opt_state, rng = flush(
+                        params, state, opt_state, rng, fns["warmup_scan"], fns["warmup_step"], pending)
+                    pending = []
+            if pending:
+                params, state, opt_state, rng = flush(
+                    params, state, opt_state, rng, fns["warmup_scan"], fns["warmup_step"], pending)
+            losses.clear()  # warm-up losses are not epoch losses
 
-        losses = []
         seq = train_batcher.domain_batch_seq
-        for i, d in enumerate(seq):
-            batch_np = train_batcher.next_batch(d)
-            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-            if (epoch_i == 0 and i == 0) or ((i + 1) % regroup_interval == 0):
-                params, state = self._mask_evolution(
-                    params, state, train_batcher, aug_batcher, rng, verbose)
-            record = ((i + 1) // regroup_interval
-                      - (i + 1 + warm_up_interval) // regroup_interval) > 0
-            rng, srng = jax.random.split(rng)
-            dm = _to_device_mask(ms.domain_mask[d])
-            params, state, opt_state, loss, gms = fns["main_step"](
-                params, state, opt_state, batch, dm, srng)
-            if record:
-                ms.record_gates(d, [np.asarray(g) for g in gms])
-            losses.append(float(loss))
+        with profiling.trace():  # no-op unless AREAD_TPU_TRACE is set
+            pending = []
+            for i, d in enumerate(seq):
+                if (epoch_i == 0 and i == 0) or ((i + 1) % regroup_interval == 0):
+                    if pending:  # keep step/evolution ordering exact
+                        params, state, opt_state, rng = flush(
+                            params, state, opt_state, rng, fns["main_scan"], fns["main_step"], pending)
+                        pending = []
+                    with profiling.annotate("hemp_mask_evolution"):
+                        params, state = self._mask_evolution(
+                            params, state, train_batcher, aug_batcher, rng, verbose)
+                record = ((i + 1) // regroup_interval
+                          - (i + 1 + warm_up_interval) // regroup_interval) > 0
+                pending.append((d, train_batcher.next_batch(d),
+                                [m.copy() for m in ms.domain_mask[d]], record))
+                if len(pending) == self.SCAN_CHUNK:
+                    params, state, opt_state, rng = flush(
+                        params, state, opt_state, rng, fns["main_scan"], fns["main_step"], pending)
+                    pending = []
+            if pending:
+                params, state, opt_state, rng = flush(
+                    params, state, opt_state, rng, fns["main_scan"], fns["main_step"], pending)
         return params, state, opt_state, rng, float(np.mean(losses)) if losses else np.nan
 
     def _mask_evolution(self, params, state, train_batcher: DomainBatcher,
@@ -212,7 +296,7 @@ class AREADTrainer:
                     init_active_percent=self.init_active_percent,
                     random_modify_sigma=self.random_modify_sigma)
                 fparams, fstate = self._restore(snap)
-                fast_opt_state = self.fast_optimizer.init(fparams)
+                fast_opt_state = hybrid_init(self.fast_optimizer, fparams)
                 rng, srng = jax.random.split(rng)
                 # fall back to original train data for domains the augmented
                 # file doesn't cover (possible for tiny subsamples)
@@ -286,10 +370,12 @@ class AREADTrainer:
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
         train_b = DomainBatcher(data.train_x, data.train_y, cfg.bs,
                                 data.spec.domain_idx, self.n_domain, seed=cfg.seed)
-        valid_b = DomainBatcher(data.valid_x, data.valid_y, cfg.bs,
+        eval_bs = cfg.bs * 8  # prediction is batch-size independent (eval
+        # BN uses running stats); bigger batches amortize tunnel dispatches
+        valid_b = DomainBatcher(data.valid_x, data.valid_y, eval_bs,
                                 data.spec.domain_idx, self.n_domain,
                                 shuffle=False, seed=cfg.seed)
-        test_b = DomainBatcher(data.test_x, data.test_y, cfg.bs,
+        test_b = DomainBatcher(data.test_x, data.test_y, eval_bs,
                                data.spec.domain_idx, self.n_domain,
                                shuffle=False, seed=cfg.seed)
         aug_x = data.aug_train_x if data.aug_train_x is not None else data.train_x
@@ -310,6 +396,7 @@ class AREADTrainer:
             result = self.evaluate(params, state, valid_b, data.domain_cnt_weight)
             result["train_loss"] = train_loss
             result["epoch_time_s"] = time.time() - t0
+            result["examples_per_s"] = self.step_timer.summary()["examples_per_s"]
             history.append(result)
             if verbose:
                 print(f"epoch {epoch_i + 1}: loss={train_loss:.4f} "

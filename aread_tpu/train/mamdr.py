@@ -27,7 +27,7 @@ import numpy as np
 from aread_tpu.config import Config
 from aread_tpu.data.loader import DomainBatcher, SplitData
 from aread_tpu.train import metrics as metrics_lib
-from aread_tpu.train.trainer import Trainer
+from aread_tpu.train.trainer import Trainer, hybrid_init
 
 
 def tree_add(a, b):
@@ -98,7 +98,7 @@ class MamdrTrainer(Trainer):
             order = np_rng.permutation(domain_list)
             shuffled_seq = np.concatenate([np.repeat(d, cnt[int(d)]) for d in order])
             params = tree_clone(self.meta_weights)
-            opt_state = self.optimizer.init(params)
+            opt_state = hybrid_init(self.optimizer, params)
             params, state, opt_state, rng = self._train_on_sequence(
                 params, state, opt_state, train_b, shuffled_seq, rng)
             self.meta_weights = reptile_update(
@@ -115,7 +115,7 @@ class MamdrTrainer(Trainer):
                 for a in aux:
                     a = int(a)
                     params = tree_clone(merged)
-                    opt_state = self.optimizer.init(params)
+                    opt_state = hybrid_init(self.optimizer, params)
                     params, state, opt_state, rng = self._train_on_sequence(
                         params, state, opt_state, train_b,
                         np.repeat(a, cnt[a]), rng)

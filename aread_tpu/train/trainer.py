@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from functools import partial
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
 import jax
@@ -29,6 +30,7 @@ from aread_tpu.config import Config
 from aread_tpu.data.loader import DomainBatcher, GlobalBatcher, SplitData
 from aread_tpu.models.base import gather_group, regularization_loss
 from aread_tpu.train import metrics as metrics_lib
+from aread_tpu.utils import profiling
 
 MULTI_TOWER_MODELS = ("ple", "mmoe", "pepnet", "epnet", "star", "adl", "hinet")
 CONCAT_GROUP_MODELS = ("star", "adl", "hinet")  # forward consumes group
@@ -60,6 +62,90 @@ def split_variables(variables) -> Tuple[Dict, Dict]:
     return params, state
 
 
+# ---------------------------------------------------------------------------
+# Hybrid optimizer: the fused embedding table (~99% of parameters at Amazon
+# scale, 1.37M itemid rows, config.py:7) is updated by ONE Pallas pass with
+# torch-Adam semantics and the weight-decay + embedding-L2 gradient folded
+# in (see ops/pallas/fused_adam.py); all other leaves go through the optax
+# chain. Numerically identical to optax-on-everything with the L2 term in
+# the loss: torch computes grad(loss + l2*||w||^2) + wd*w, which equals
+# grad(loss) + (2*l2 + wd)*w for the table leaf.
+# ---------------------------------------------------------------------------
+
+TABLE_RULE = r"^embedding/table$"
+TABLE_L2 = 1e-5  # l2_reg_embedding (reference layer.py:15,31)
+
+
+def split_table(tree: Dict) -> Tuple[Any, Dict]:
+    """(table_leaf, tree-without-table). Every model's params contain
+    embedding/table (models/base.py _backbone)."""
+    table = tree["embedding"]["table"]
+    rest = dict(tree)
+    rest["embedding"] = {k: v for k, v in tree["embedding"].items() if k != "table"}
+    return table, rest
+
+
+def merge_table(rest: Dict, table) -> Dict:
+    out = dict(rest)
+    emb = dict(out.get("embedding", {}))
+    emb["table"] = table
+    out["embedding"] = emb
+    return out
+
+
+def strip_table_rule(rules):
+    """Reg rules without the embedding-table term (its gradient is folded
+    into the fused Adam decay). The LOSS VALUE still reports the term via
+    a stop_gradient summand so printed losses match the reference."""
+    return tuple((p, l2) for p, l2 in rules if p != TABLE_RULE)
+
+
+def table_reg_value(table):
+    """stop_gradient(l2*||table||^2): keeps the reported loss equal to the
+    reference's (run.py:505) without paying the dense backward pass."""
+    return TABLE_L2 * jnp.sum(jnp.square(jax.lax.stop_gradient(table)))
+
+
+def hybrid_init(optimizer: optax.GradientTransformation, params: Dict) -> Dict:
+    table, rest = split_table(params)
+    return {
+        "inner": optimizer.init(rest),
+        "m": jnp.zeros_like(table),
+        "v": jnp.zeros_like(table),
+        "t": jnp.zeros((), jnp.int32),
+    }
+
+
+def hybrid_update(optimizer: optax.GradientTransformation, lr: float, wd: float,
+                  params: Dict, grads: Dict, opt_state: Dict,
+                  table_l2: float = TABLE_L2) -> Tuple[Dict, Dict]:
+    """One optimizer step; returns (new_params, new_opt_state).
+
+    The table goes through ``reference_adam_update`` — a single fused jnp
+    expression XLA compiles to one pass over (w, m, v, g). The Pallas
+    kernel variant (ops/pallas/fused_adam.py) is opt-in via
+    ``AREAD_TPU_PALLAS_ADAM=1``: measured on this image's tunneled v5e it
+    is NOT faster than the XLA fusion, and it needs interpret mode on CPU.
+    """
+    import os as _os
+
+    from aread_tpu.ops.pallas.fused_adam import (fused_adam_update,
+                                                 reference_adam_update)
+
+    g_table, g_rest = split_table(grads)
+    p_table, p_rest = split_table(params)
+    t = opt_state["t"] + 1
+    table_fn = fused_adam_update if _os.environ.get("AREAD_TPU_PALLAS_ADAM") \
+        else reference_adam_update
+    new_table, m, v = table_fn(
+        p_table, opt_state["m"], opt_state["v"], g_table, t,
+        lr=lr, weight_decay=wd, l2=table_l2)
+    updates, new_inner = optimizer.update(g_rest, opt_state["inner"], p_rest)
+    new_rest = optax.apply_updates(p_rest, updates)
+    new_opt_state = {"inner": new_inner, "m": m, "v": v, "t": t}
+    return merge_table(new_rest, new_table), new_opt_state
+
+
 class Trainer:
     """Generic trainer for single-output and multi-tower models."""
 
@@ -73,12 +159,14 @@ class Trainer:
         self.domain2group = domain2group
         self.optimizer = make_optimizer(config.lr, config.wd)
         self._train_step = None
+        self._train_scan = None
         self._eval_step = None
         # early-stop state (reference run.py:99-103)
         self.trial_counter = 0
         self.best_auc, self.best_mean_auc = 0.0, 0.0
         self.best_loss, self.best_mean_loss = np.inf, np.inf
         self.best_checkpoint = None
+        self.step_timer = profiling.StepTimer()
 
     # ---------------------------------------------------------------- init
     def init(self, rng, sample_batch) -> Tuple[Dict, Dict, Any]:
@@ -95,7 +183,7 @@ class Trainer:
         variables = _init(rng, jnp.asarray(sample_batch["x"]),
                           jnp.asarray(sample_batch["group"]) if has_group else None)
         params, state = split_variables(variables)
-        opt_state = self.optimizer.init(params)
+        opt_state = hybrid_init(self.optimizer, params)
         return params, state, opt_state
 
     def _model_kwargs(self, batch, train: bool) -> Dict:
@@ -107,13 +195,16 @@ class Trainer:
         return kwargs
 
     # ---------------------------------------------------------- jitted fns
-    def _build_train_step(self):
+    def _build_step_core(self):
         model, optimizer = self.model, self.optimizer
-        reg_rules = type(self.model).REG_RULES
+        # table L2 gradient folds into the fused Adam pass (hybrid_update);
+        # its value is reported via table_reg_value so loss matches the
+        # reference's (run.py:505)
+        reg_rules = strip_table_rule(type(self.model).REG_RULES)
         is_multi_tower = self.is_multi_tower
+        lr, wd = self.config.lr, self.config.wd
 
-        @jax.jit
-        def train_step(params, state, opt_state, batch, rng):
+        def step_core(params, state, opt_state, batch, rng):
             x, y, valid = batch["x"], batch["y"], batch["valid"]
             group = batch.get("group")
 
@@ -129,15 +220,43 @@ class Trainer:
                 if is_multi_tower and logit.ndim == 2:
                     logit = gather_group(logit, group if group is not None else batch["domain"])
                 bce = masked_mean(bce_with_logits(logit, y), valid)
-                loss = bce + regularization_loss(p, reg_rules)
+                loss = bce + regularization_loss(p, reg_rules) \
+                    + table_reg_value(p["embedding"]["table"])
                 return loss, new_state
 
             (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, new_opt_state = optimizer.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
+            new_params, new_opt_state = hybrid_update(
+                optimizer, lr, wd, params, grads, opt_state)
             return new_params, dict(new_state), new_opt_state, loss
 
-        return train_step
+        return step_core
+
+    def _build_train_step(self):
+        return partial(jax.jit, donate_argnums=(0, 1, 2))(self._build_step_core())
+
+    def _build_train_scan(self):
+        """SCAN_CHUNK train steps in ONE device dispatch (lax.scan).
+
+        On this image's tunneled TPU a python-loop step pays ~8-30 ms of
+        host dispatch per step — several times the device step itself —
+        so the epoch loop batches steps on device. Stacked batches are a
+        dict of [S, bs, ...] arrays."""
+        step_core = self._build_step_core()
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_scan(params, state, opt_state, batches, rng):
+            def body(carry, batch):
+                params, state, opt_state, rng = carry
+                rng, srng = jax.random.split(rng)
+                params, state, opt_state, loss = step_core(
+                    params, state, opt_state, batch, srng)
+                return (params, state, opt_state, rng), loss
+
+            (params, state, opt_state, rng), losses = jax.lax.scan(
+                body, (params, state, opt_state, rng), batches)
+            return params, state, opt_state, rng, losses
+
+        return train_scan
 
     def _build_eval_step(self):
         model = self.model
@@ -158,25 +277,54 @@ class Trainer:
         return eval_step
 
     # ------------------------------------------------------------ training
+    SCAN_CHUNK = 32
+
     def train_epoch(self, params, state, opt_state, batcher: Iterable, rng,
                     log_every: int = 200):
         if self._train_step is None:
             self._train_step = self._build_train_step()
-        losses = []
-        for i, batch in enumerate(batcher):
-            rng, step_rng = jax.random.split(rng)
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
-            params, state, opt_state, loss = self._train_step(
-                params, state, opt_state, jb, step_rng)
-            losses.append(loss)
-        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+        if self._train_scan is None:
+            self._train_scan = self._build_train_scan()
+        losses: list = []
+        pending: list = []
+
+        def flush_chunk(params, state, opt_state, rng, chunk):
+            stacked = {k: jnp.asarray(np.stack([b[k] for b in chunk]))
+                       for k in chunk[0]}
+            n_ex = int(sum(b["valid"].sum() for b in chunk))
+            with self.step_timer.step(n_examples=n_ex):
+                params, state, opt_state, rng, ls = self._train_scan(
+                    params, state, opt_state, stacked, rng)
+            losses.extend(np.asarray(ls).tolist())
+            return params, state, opt_state, rng
+
+        with profiling.trace():  # no-op unless AREAD_TPU_TRACE is set
+            for batch in batcher:
+                pending.append(batch)
+                if len(pending) == self.SCAN_CHUNK:
+                    params, state, opt_state, rng = flush_chunk(
+                        params, state, opt_state, rng, pending)
+                    pending = []
+            # remainder: single jitted steps (a second compile, but only
+            # for the tail of the epoch)
+            for batch in pending:
+                rng, step_rng = jax.random.split(rng)
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                with self.step_timer.step(n_examples=int(batch["valid"].sum())):
+                    params, state, opt_state, loss = self._train_step(
+                        params, state, opt_state, jb, step_rng)
+                losses.append(loss)
+        mean_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
         return params, state, opt_state, rng, mean_loss
 
     def evaluate(self, params, state, x: np.ndarray, y: np.ndarray,
                  domain_cnt_weight: np.ndarray) -> Dict:
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
-        bs = self.config.bs
+        # eval is BN-running-stats based, so batch size does not affect
+        # predictions; 8x batches cut host->device dispatches (each costs
+        # ~8-30 ms over this image's TPU tunnel) by 8x
+        bs = self.config.bs * 8
         batcher = GlobalBatcher(x, y, bs, self.model.spec.domain_idx,
                                 self.domain2group, shuffle=False)
         preds, targets, domains = [], [], []
@@ -237,6 +385,7 @@ class Trainer:
                                    data.domain_cnt_weight)
             result["train_loss"] = train_loss
             result["epoch_time_s"] = time.time() - t0
+            result["examples_per_s"] = self.step_timer.summary()["examples_per_s"]
             history.append(result)
             if verbose:
                 msg = (f"epoch {epoch_i + 1}: train_loss={train_loss:.4f} "

@@ -81,7 +81,22 @@ def main():
     is_aread = "aread" in cfg.model
     aug_path = path.replace(".csv", f"_aug{cfg.aug_ratio}.csv") if is_aread else None
     if aug_path is not None and not os.path.exists(aug_path):
-        aug_path = None
+        # generate the counterfactually augmented file (the reference
+        # produces it during preprocessing, preprocess.py:368-474); the
+        # dataset dir may be read-only, so write under save_path
+        import pandas as pd
+        from aread_tpu.data.augment import make_augmentation
+        out_dir = os.path.join(cfg.save_path, cfg.dataset_name)
+        os.makedirs(out_dir, exist_ok=True)
+        gen_path = os.path.join(out_dir, os.path.basename(aug_path))
+        if not os.path.exists(gen_path):
+            df = pd.read_csv(path)
+            aug_df = make_augmentation(df, cfg.dataset_name, cfg.aug_ratio,
+                                       rng=np.random.default_rng(cfg.seed))
+            aug_df.to_csv(gen_path, index=False)
+            print(f"generated augmentation: {gen_path} "
+                  f"({len(aug_df) - len(df)} augmented rows)")
+        aug_path = gen_path
     itemid_all = cfg.itemid_all if cfg.dataset_name == "amazon" else None
     data = load_split_data(path, cfg.dataset_name, cfg.seq_maxlen,
                            itemid_all=itemid_all, aug_path=aug_path,
@@ -111,6 +126,19 @@ def main():
         model = build_model(cfg, data.spec, data.n_domain)
         trainer = Trainer(model, cfg, data.n_domain, domain2group=d2g)
         result = trainer.fit(data)
+
+    # persist the best model (reference run.py:459-484 saves per
+    # improvement; one final save keeps the same restart capability)
+    from aread_tpu.train.checkpoint import save_checkpoint
+    ckpt_dir = os.path.join(cfg.save_path, cfg.dataset_name)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    ckpt_path = os.path.join(ckpt_dir, f"{cfg.model}_best")
+    save_checkpoint(ckpt_path, result["params"], result["state"],
+                    opt_state={}, epoch=len(result["history"]),
+                    best_result={k: v for k, v in result["test"].items()
+                                 if not isinstance(v, dict)},
+                    domain_mask=result.get("domain_mask"))
+    print(f"checkpoint saved: {ckpt_path}")
 
     print("test:", {k: v for k, v in result["test"].items()
                     if not isinstance(v, dict)})

@@ -61,10 +61,13 @@ def test_dp_sharded_step_matches_single_device(synthetic_data):
     batch = next(iter(batcher))
     params, state, opt_state = trainer.init(jax.random.PRNGKey(0), batch)
 
-    # single-device step
+    # single-device step (donates its inputs — pass copies so the sharded
+    # path below can reuse the originals)
     step1 = trainer._build_train_step()
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
-    p1, s1, o1, loss1 = step1(params, state, opt_state, jb, jax.random.PRNGKey(9))
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+    p1, s1, o1, loss1 = step1(copy(params), copy(state), copy(opt_state),
+                              jb, jax.random.PRNGKey(9))
 
     # sharded step
     mesh = make_mesh(data=4, model=2)

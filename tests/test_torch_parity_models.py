@@ -46,17 +46,23 @@ def stack_linears(torch_linears, transpose=True):
     return kernel, bias
 
 
-def stack_mlps(torch_mlps):
+def stack_mlps(torch_mlps, output_layer=None):
     """ModuleList of reference MultiLayerPerceptron -> StackedMLP params.
 
     Returns (params, batch_stats) with kernels [T, din, dout] and BN
-    stats [T, D]."""
+    stats [T, D]. ``output_layer`` must be passed explicitly for bn=False
+    MLPs (no BN count to infer the hidden-layer count from)."""
     params, stats = {}, {}
     linears = [[m for m in mlp.layers if isinstance(m, torch.nn.Linear)]
                for mlp in torch_mlps]
     bns = [[m for m in mlp.layers if isinstance(m, torch.nn.BatchNorm1d)]
            for mlp in torch_mlps]
-    n_hidden = len(bns[0]) if bns[0] else len(linears[0]) - 1
+    if bns[0]:
+        n_hidden = len(bns[0])
+    elif output_layer is None or output_layer:
+        n_hidden = len(linears[0]) - 1
+    else:
+        n_hidden = len(linears[0])
     for i in range(n_hidden):
         params[f"linear_{i}"] = {
             "kernel": n2j(np.stack([t2n(ls[i].weight).T for ls in linears])),
@@ -249,3 +255,142 @@ def test_aread_masked_forward_parity(seed):
     active = np.asarray(out["leaf_active"]).astype(bool)
     ours_stack = np.asarray(out["leaf_prob"])[:, active].T  # [n_active, B]
     np.testing.assert_allclose(ours_stack, ref_stack, atol=1e-5)
+
+
+# ------------------------------------------------------------------- STAR
+def test_star_forward_parity():
+    """Partitioned normalization + weight-product towers (star.py:36-167)
+    — SURVEY §7 flags this as the biggest silent-divergence risk."""
+    from model.star import STAR as TorchSTAR
+
+    from aread_tpu.models.base import FeatureSpec
+    from aread_tpu.models.star import STAR
+
+    rng = np.random.default_rng(7)
+    one_hot_dims = [9, 5, 4]
+    mh = {"multi_hot_flag": [False] * 3, "seq_maxlen": 5, "itemid_idx": 0,
+          "method": "mean"}
+    cfg = SimpleNamespace(use_atten=False)
+    n_tower, tower_dims = 3, (8, 6)
+    torch.manual_seed(1)
+    tm = TorchSTAR(np.array(one_hot_dims), 4, mh, n_tower=n_tower,
+                   tower_dims=tower_dims, dropout=0.0, config=cfg).eval()
+
+    B = 10
+    x = make_inputs(rng, one_hot_dims, B)
+    with torch.no_grad():
+        ref = t2n(tm(torch.tensor(x)))  # [B, n_tower]
+
+    spec = FeatureSpec(one_hot_dims=tuple(one_hot_dims), n_seq_fields=0,
+                       itemid_idx=0, domain_idx=2)
+    jm = STAR(spec=spec, embed_dim=4, n_tower=n_tower, tower_dims=tower_dims,
+              dropout=0.0, use_atten=False)
+
+    D = tm.embed_output_dim
+    params = {
+        "embedding": {"table": n2j(t2n(tm.embedding.embedding_dict.weight))},
+        "linear": {"kernel": n2j(t2n(tm.linear.fc.weight).T),
+                   "bias": n2j(t2n(tm.linear.fc.bias))},
+        "shared_bn_weight": n2j(t2n(tm.shared_bn_weight)),
+        "shared_bn_bias": n2j(t2n(tm.shared_bn_bias)),
+        "domain_norm": {
+            "scale": n2j(np.stack([t2n(b.weight) for b in tm.domain_norm])),
+            "bias": n2j(np.stack([t2n(b.bias) for b in tm.domain_norm]))},
+    }
+    stats = {"domain_norm": {
+        "mean": n2j(np.stack([t2n(b.running_mean) for b in tm.domain_norm])),
+        "var": n2j(np.stack([t2n(b.running_var) for b in tm.domain_norm]))}}
+    dims = (D,) + tuple(tower_dims)
+    for i in range(len(tower_dims)):
+        params[f"domain_dnns_kernel_{i}"] = n2j(np.stack(
+            [t2n(d.linears[i].weight).T for d in tm.domain_dnns]))
+        params[f"domain_dnns_bias_{i}"] = n2j(np.stack(
+            [t2n(d.linears[i].bias) for d in tm.domain_dnns]))
+        params[f"shared_dnn_kernel_{i}"] = n2j(t2n(tm.shared_dnn.linears[i].weight).T)
+        params[f"shared_dnn_bias_{i}"] = n2j(t2n(tm.shared_dnn.linears[i].bias))
+        params[f"domain_dnns_bn_{i}"] = {
+            "scale": n2j(np.stack([t2n(d.bn[i].weight) for d in tm.domain_dnns])),
+            "bias": n2j(np.stack([t2n(d.bn[i].bias) for d in tm.domain_dnns]))}
+        stats[f"domain_dnns_bn_{i}"] = {
+            "mean": n2j(np.stack([t2n(d.bn[i].running_mean) for d in tm.domain_dnns])),
+            "var": n2j(np.stack([t2n(d.bn[i].running_var) for d in tm.domain_dnns]))}
+    params["domain_dnn_linears_kernel"] = n2j(np.stack(
+        [t2n(m.weight).T for m in tm.domain_dnn_linears]))
+    params["domain_dnn_linears_bias"] = n2j(np.stack(
+        [t2n(m.bias) for m in tm.domain_dnn_linears]))
+    params["shared_dnn_linear_kernel"] = n2j(t2n(tm.shared_dnn_linear.weight).T)
+    params["shared_dnn_linear_bias"] = n2j(t2n(tm.shared_dnn_linear.bias))
+
+    out = jm.apply({"params": params, "batch_stats": stats},
+                   jnp.asarray(x.astype(np.int32)), train=False)
+    np.testing.assert_allclose(np.asarray(out["prob"]), ref, atol=1e-5)
+
+    # train-mode parity: batch statistics + running-stat updates
+    tm.train(True)
+    with torch.no_grad():
+        ref_tr = t2n(tm(torch.tensor(x)))
+    out_tr, mut = jm.apply({"params": params, "batch_stats": stats},
+                           jnp.asarray(x.astype(np.int32)), train=True,
+                           mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.PRNGKey(0)})
+    np.testing.assert_allclose(np.asarray(out_tr["prob"]), ref_tr, atol=2e-5)
+    # per-tower running means updated to match each torch MDR_BatchNorm
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["domain_norm"]["mean"]),
+        np.stack([t2n(b.running_mean) for b in tm.domain_norm]), atol=1e-5)
+
+
+# -------------------------------------------------------------------- PLE
+def test_ple_forward_parity():
+    from model.ple import PLE as TorchPLE
+
+    from aread_tpu.models.base import FeatureSpec
+    from aread_tpu.models.ple import PLE
+
+    rng = np.random.default_rng(11)
+    one_hot_dims = [9, 5, 4]
+    mh = {"multi_hot_flag": [False] * 3, "seq_maxlen": 5, "itemid_idx": 0,
+          "method": "mean"}
+    cfg = SimpleNamespace(use_dcn=False, use_atten=False)
+    n_tower, n_spec, n_shared = 3, 2, 2
+    expert_dims = ((16, 8), (6,))
+    tower_dims = (6, 4)
+    torch.manual_seed(2)
+    tm = TorchPLE(np.array(one_hot_dims), 4, mh, n_tower, n_spec, n_shared,
+                  expert_dims, tower_dims, dropout=0.0, config=cfg).eval()
+
+    B = 10
+    x = make_inputs(rng, one_hot_dims, B)
+    with torch.no_grad():
+        ref = t2n(tm(torch.tensor(x)))
+
+    spec = FeatureSpec(one_hot_dims=tuple(one_hot_dims), n_seq_fields=0,
+                       itemid_idx=0, domain_idx=2)
+    jm = PLE(spec=spec, embed_dim=4, n_tower=n_tower,
+             n_expert_specific=n_spec, n_expert_shared=n_shared,
+             expert_dims=expert_dims, tower_dims=tower_dims, dropout=0.0,
+             use_dcn=False, use_atten=False)
+
+    params = {
+        "embedding": {"table": n2j(t2n(tm.embedding.embedding_dict.weight))},
+        "linear": {"kernel": n2j(t2n(tm.linear.fc.weight).T),
+                   "bias": n2j(t2n(tm.linear.fc.bias))},
+    }
+    stats = {}
+    for i, cgc in enumerate(tm.cgc_layers):
+        spec_p, _ = stack_mlps(cgc.experts_specific, output_layer=False)
+        shared_p, _ = stack_mlps(cgc.experts_shared, output_layer=False)
+        gk, gb = stack_linears([g[0] for g in cgc.gates_specific])
+        cgc_p = {"experts_specific": spec_p, "experts_shared": shared_p,
+                 "gates_specific": {"kernel": gk, "bias": gb}}
+        if cgc.cur_level < cgc.n_level:
+            cgc_p["gate_shared"] = {
+                "kernel": n2j(t2n(cgc.gate_shared[0].weight).T),
+                "bias": n2j(t2n(cgc.gate_shared[0].bias))}
+        params[f"cgc_{i}"] = cgc_p
+    tow_p, tow_s = stack_mlps(tm.towers)
+    params["towers"] = tow_p
+    stats["towers"] = tow_s
+    out = jm.apply({"params": params, "batch_stats": stats},
+                   jnp.asarray(x.astype(np.int32)), train=False)
+    np.testing.assert_allclose(np.asarray(out["prob"]), ref, atol=1e-5)
