@@ -133,6 +133,24 @@ class AREADTrainer:
             return jax.jit(scan_fn, donate_argnums=(0, 1, 2))
 
         @jax.jit
+        def eval_loss_multi(params, state, batches, dm):
+            """The regroup_eval_step no-grad probes in ONE dispatch:
+            ``batches`` carries a leading [S] axis; returns [S] losses
+            (run.py:651-657 runs them as separate no-grad steps — the
+            model is not mutated, so stacking is exact)."""
+            def one(batch):
+                out = model.apply({"params": params, **state}, batch["x"],
+                                  domain_mask=dm, mode="domain_with_mask",
+                                  train=False)
+                prob = jnp.clip(out["prob"], 1e-7, 1 - 1e-7)
+                bce = masked_mean(-(batch["y"] * jnp.log(prob)
+                                    + (1 - batch["y"]) * jnp.log1p(-prob)),
+                                  batch["valid"])
+                return bce + regularization_loss(params, reg_rules) \
+                    + table_reg_value(params["embedding"]["table"])
+            return jax.lax.map(one, batches)
+
+        @jax.jit
         def eval_loss_step(params, state, batch, dm):
             """No-grad eval probe: BCE on mean-over-active-leaves prob + reg
             (run.py:651-657, mode='domain_with_mask')."""
@@ -157,18 +175,25 @@ class AREADTrainer:
             "warmup_step": make_step(main_opt, cfg.lr, "wo_mask"),
             "warmup_scan": make_scan(main_opt, cfg.lr, "wo_mask"),
             "eval_loss": eval_loss_step,
+            "eval_loss_multi": eval_loss_multi,
             "eval_prob": eval_prob_step,
         }
         return self._fns
 
     # -------------------------------------------------------------- helpers
     def _snapshot(self, params, state):
-        return (jax.tree_util.tree_map(np.asarray, params),
-                jax.tree_util.tree_map(np.asarray, state))
+        """DEVICE-resident copy (jnp.array). Mask evolution restores the
+        snapshot once per candidate (reference aread.py:534-546); a host
+        snapshot would push the full parameter tree (~190MB at Amazon
+        scale) back through the TPU tunnel on every restore."""
+        return (jax.tree_util.tree_map(jnp.array, params),
+                jax.tree_util.tree_map(jnp.array, state))
 
     def _restore(self, snap):
-        params = jax.tree_util.tree_map(jnp.asarray, snap[0])
-        state = jax.tree_util.tree_map(jnp.asarray, snap[1])
+        """Fresh device buffers from the device snapshot (the originals of
+        a snapshot must never be donated into a step)."""
+        params = jax.tree_util.tree_map(jnp.array, snap[0])
+        state = jax.tree_util.tree_map(jnp.array, snap[1])
         return params, state
 
     def init(self, rng, sample_batch):
@@ -312,11 +337,15 @@ class AREADTrainer:
                     ms.record_tmp_gates([np.asarray(g) for g in gms], tmp_mask)
                     tmp_mask = ms.prun_single_mask(d, tmp_mask, prun_ratio=0.05)
                 ms.candidate_domain_mask[d].append(tmp_mask)
-                for s in range(cfg.regroup_eval_step):
-                    batch = {k: jnp.asarray(v)
-                             for k, v in train_batcher.next_batch(d).items()}
-                    loss = fns["eval_loss"](fparams, fstate, batch,
-                                            _to_device_mask(tmp_mask))
+                # all eval probes in one dispatch + one host fetch (each
+                # scalar fetch costs a 30-70 ms tunnel round trip)
+                probe_batches = [train_batcher.next_batch(d)
+                                 for _ in range(cfg.regroup_eval_step)]
+                stacked = {k: jnp.asarray(np.stack([b[k] for b in probe_batches]))
+                           for k in probe_batches[0]}
+                probe_losses = np.asarray(fns["eval_loss_multi"](
+                    fparams, fstate, stacked, _to_device_mask(tmp_mask)))
+                for loss in probe_losses:
                     ms.add_eval_loss(float(loss), d=d, mask_z=z)
         ms.update_all_mask()
         if verbose:
