@@ -45,10 +45,13 @@ def _to_device_mask(mask) -> Tuple:
 
 
 class AREADTrainer:
-    def __init__(self, model: AREAD, config: Config, n_domain: int):
+    def __init__(self, model: AREAD, config: Config, n_domain: int, mesh=None):
         self.model = model
         self.config = config
         self.n_domain = n_domain
+        # Optional Mesh('data','model'): table row-sharded, batches
+        # data-sharded; the jitted steps run SPMD via GSPMD propagation.
+        self.mesh = mesh
         self.mask_state = HempMaskState(model.n_tower, n_domain, seed=config.seed)
         self.optimizer = make_optimizer(config.lr, config.wd)
         self.fast_optimizer = make_optimizer(config.update_lr, config.wd)
@@ -203,8 +206,26 @@ class AREADTrainer:
                                     domain_mask=None, mode="wo_mask", train=False)
         )(rng, jnp.asarray(sample_batch["x"]))
         params, state = split_variables(variables)
+        if self.mesh is not None:
+            from aread_tpu.parallel.mesh import param_shardings
+            shardings = param_shardings(params, self.mesh)
+            params = jax.tree_util.tree_map(jax.device_put, params, shardings)
         opt_state = hybrid_init(self.optimizer, params)
         return params, state, opt_state
+
+    def _place(self, batch):
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        from aread_tpu.parallel.mesh import batch_sharding
+        bsh = batch_sharding(self.mesh)
+        return {k: jax.device_put(jnp.asarray(v), bsh) for k, v in batch.items()}
+
+    def _place_stacked(self, stacked):
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in stacked.items()}
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P(None, "data"))
+        return {k: jax.device_put(jnp.asarray(v), sh) for k, v in stacked.items()}
 
     # ------------------------------------------------------------ epochs
     SCAN_CHUNK = 32
@@ -227,8 +248,9 @@ class AREADTrainer:
             recompile, and compiles over this image's TPU tunnel cost
             minutes). Flagged per-step gate means are recorded after."""
             if len(pending) == self.SCAN_CHUNK:
-                batches = {k: jnp.asarray(np.stack([p[1][k] for p in pending]))
-                           for k in pending[0][1]}
+                batches = self._place_stacked(
+                    {k: np.stack([p[1][k] for p in pending])
+                     for k in pending[0][1]})
                 dms = tuple(jnp.asarray(np.stack([np.asarray(p[2][l]) for p in pending]))
                             for l in range(len(pending[0][2])))
                 n_ex = int(sum(p[1]["valid"].sum() for p in pending))
@@ -242,7 +264,7 @@ class AREADTrainer:
                         ms.record_gates(d, [g[i] for g in gms_np])
                 return params, state, opt_state, rng
             for d, batch_np, mask, record in pending:
-                batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+                batch = self._place(batch_np)
                 rng, srng = jax.random.split(rng)
                 with self.step_timer.step(n_examples=int(batch_np["valid"].sum())):
                     params, state, opt_state, loss, gms = step_fn(
@@ -328,8 +350,7 @@ class AREADTrainer:
                 fa_batcher = aug_batcher if len(aug_batcher.domain_indices[d]) \
                     else train_batcher
                 for s in range(cfg.regroup_update_step):
-                    batch = {k: jnp.asarray(v)
-                             for k, v in fa_batcher.next_batch(d).items()}
+                    batch = self._place(fa_batcher.next_batch(d))
                     srng, step_rng = jax.random.split(srng)
                     fparams, fstate, fast_opt_state, loss, gms = fns["fast_step"](
                         fparams, fstate, fast_opt_state, batch,
@@ -341,8 +362,9 @@ class AREADTrainer:
                 # scalar fetch costs a 30-70 ms tunnel round trip)
                 probe_batches = [train_batcher.next_batch(d)
                                  for _ in range(cfg.regroup_eval_step)]
-                stacked = {k: jnp.asarray(np.stack([b[k] for b in probe_batches]))
-                           for k in probe_batches[0]}
+                stacked = self._place_stacked(
+                    {k: np.stack([b[k] for b in probe_batches])
+                     for k in probe_batches[0]})
                 probe_losses = np.asarray(fns["eval_loss_multi"](
                     fparams, fstate, stacked, _to_device_mask(tmp_mask)))
                 for loss in probe_losses:
@@ -362,7 +384,7 @@ class AREADTrainer:
         preds, targets, domains = [], [], []
         for d in batcher.domain_batch_seq:
             batch_np = batcher.next_batch(d)
-            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            batch = self._place(batch_np)
             prob = np.asarray(fns["eval_prob"](params, state, batch,
                                                _to_device_mask(ms.domain_mask[d])))
             n = int(batch_np["valid"].sum())

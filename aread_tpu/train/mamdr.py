@@ -47,8 +47,8 @@ def reptile_update(update_vars, new_vars, old_vars, meta_lr: float):
 class MamdrTrainer(Trainer):
     """Reptile meta-trainer over per-domain batch streams."""
 
-    def __init__(self, model, config: Config, n_domain: int):
-        super().__init__(model, config, n_domain)
+    def __init__(self, model, config: Config, n_domain: int, mesh=None):
+        super().__init__(model, config, n_domain, mesh=mesh)
         self.meta_weights = None
         self.domain_weights: Optional[List] = None
 
@@ -56,7 +56,7 @@ class MamdrTrainer(Trainer):
         if self._train_step is None:
             self._train_step = self._build_train_step()
         for d in seq:
-            batch = {k: jnp.asarray(v) for k, v in batcher.next_batch(int(d)).items()}
+            batch = self._place(batcher.next_batch(int(d)))
             rng, srng = jax.random.split(rng)
             params, state, opt_state, _ = self._train_step(
                 params, state, opt_state, batch, srng)

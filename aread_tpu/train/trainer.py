@@ -150,13 +150,17 @@ class Trainer:
     """Generic trainer for single-output and multi-tower models."""
 
     def __init__(self, model, config: Config, n_domain: int,
-                 domain2group: Optional[np.ndarray] = None):
+                 domain2group: Optional[np.ndarray] = None, mesh=None):
         self.model = model
         self.config = config
         self.n_domain = n_domain
         self.model_name = getattr(model, "model_name", type(model).__name__.lower())
         self.is_multi_tower = self.model_name in MULTI_TOWER_MODELS
         self.domain2group = domain2group
+        # Optional jax.sharding.Mesh('data','model'): params placed with
+        # the table row-sharded, batches data-sharded; the SAME jitted
+        # steps then run SPMD via GSPMD sharding propagation.
+        self.mesh = mesh
         self.optimizer = make_optimizer(config.lr, config.wd)
         self._train_step = None
         self._train_scan = None
@@ -183,8 +187,29 @@ class Trainer:
         variables = _init(rng, jnp.asarray(sample_batch["x"]),
                           jnp.asarray(sample_batch["group"]) if has_group else None)
         params, state = split_variables(variables)
+        if self.mesh is not None:
+            from aread_tpu.parallel.mesh import param_shardings
+            shardings = param_shardings(params, self.mesh)
+            params = jax.tree_util.tree_map(jax.device_put, params, shardings)
         opt_state = hybrid_init(self.optimizer, params)
         return params, state, opt_state
+
+    # ------------------------------------------------------------ placement
+    def _place(self, batch: Dict) -> Dict:
+        """Host batch -> device; data-sharded over the mesh if present."""
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        from aread_tpu.parallel.mesh import batch_sharding
+        bsh = batch_sharding(self.mesh)
+        return {k: jax.device_put(jnp.asarray(v), bsh) for k, v in batch.items()}
+
+    def _place_stacked(self, stacked: Dict) -> Dict:
+        """[S, bs, ...] scan input; the batch axis (axis 1) data-shards."""
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in stacked.items()}
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P(None, "data"))
+        return {k: jax.device_put(jnp.asarray(v), sh) for k, v in stacked.items()}
 
     def _model_kwargs(self, batch, train: bool) -> Dict:
         kwargs: Dict[str, Any] = {"train": train}
@@ -289,8 +314,8 @@ class Trainer:
         pending: list = []
 
         def flush_chunk(params, state, opt_state, rng, chunk):
-            stacked = {k: jnp.asarray(np.stack([b[k] for b in chunk]))
-                       for k in chunk[0]}
+            stacked = self._place_stacked(
+                {k: np.stack([b[k] for b in chunk]) for k in chunk[0]})
             n_ex = int(sum(b["valid"].sum() for b in chunk))
             with self.step_timer.step(n_examples=n_ex):
                 params, state, opt_state, rng, ls = self._train_scan(
@@ -309,7 +334,7 @@ class Trainer:
             # for the tail of the epoch)
             for batch in pending:
                 rng, step_rng = jax.random.split(rng)
-                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                jb = self._place(batch)
                 with self.step_timer.step(n_examples=int(batch["valid"].sum())):
                     params, state, opt_state, loss = self._train_step(
                         params, state, opt_state, jb, step_rng)
@@ -329,7 +354,7 @@ class Trainer:
                                 self.domain2group, shuffle=False)
         preds, targets, domains = [], [], []
         for batch in batcher:
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            jb = self._place(batch)
             prob = np.asarray(self._eval_step(params, state, jb))
             n = int(batch["valid"].sum())
             preds.append(prob[:n])
@@ -354,9 +379,11 @@ class Trainer:
             if "mean_auc" in result:
                 self.best_mean_auc = result["mean_auc"]
                 self.best_mean_loss = result.get("mean_loss", np.inf)
+            # device-resident copy: avoids pushing ~190MB through the TPU
+            # tunnel per improvement and preserves mesh shardings
             self.best_checkpoint = (
-                jax.tree_util.tree_map(np.asarray, params),
-                jax.tree_util.tree_map(np.asarray, state),
+                jax.tree_util.tree_map(jnp.array, params),
+                jax.tree_util.tree_map(jnp.array, state),
                 epoch_i,
             )
             return True

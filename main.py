@@ -106,16 +106,26 @@ def main():
           f"{cfg.embed_dim}, epoch:{cfg.epoch}, seed:{cfg.seed}, "
           f"dataset:{cfg.dataset_name}, n_domain:{data.n_domain}")
 
+    mesh = None
+    if cfg.mesh_data * cfg.mesh_model > 1:
+        import dataclasses as _dc
+        from aread_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(data=cfg.mesh_data, model=cfg.mesh_model)
+        assert cfg.bs % cfg.mesh_data == 0, "bs must divide the data axis"
+        # table rows must divide the model axis for row-sharding
+        data = _dc.replace(data, spec=data.spec.pad_vocab(cfg.mesh_model))
+        print(f"mesh: data={cfg.mesh_data} model={cfg.mesh_model}")
+
     if is_aread and "wo" not in cfg.model:
         model = build_model(cfg, data.spec, data.n_domain)
-        trainer = AREADTrainer(model, cfg, data.n_domain)
+        trainer = AREADTrainer(model, cfg, data.n_domain, mesh=mesh)
         result = trainer.fit(data)
     elif cfg.model == "mamdr":
         # Reptile meta-training (the reference defines MamdrRun but never
         # wires it to main.py — here it is reachable)
         from aread_tpu.train.mamdr import MamdrTrainer
         model = build_model(cfg, data.spec, data.n_domain)
-        trainer = MamdrTrainer(model, cfg, data.n_domain)
+        trainer = MamdrTrainer(model, cfg, data.n_domain, mesh=mesh)
         result = trainer.fit(data)
     else:
         d2g = None
@@ -124,7 +134,7 @@ def main():
         except KeyError:
             pass
         model = build_model(cfg, data.spec, data.n_domain)
-        trainer = Trainer(model, cfg, data.n_domain, domain2group=d2g)
+        trainer = Trainer(model, cfg, data.n_domain, domain2group=d2g, mesh=mesh)
         result = trainer.fit(data)
 
     # persist the best model (reference run.py:459-484 saves per
