@@ -103,6 +103,13 @@ class Config:
     mamdr_meta_lr: float = 0.1
     mamdr_aux_sample_num: int = 2
 
+    # AREAD final-gate phase (reference train_aread_final run.py:688-710 and
+    # the commented-out flow run.py:861-885 read config.final_lr, which the
+    # reference never defines; we define a working default)
+    final_lr: float = 1e-3
+    final_epoch: int = 10
+    aread_final: bool = False  # run the final-gate phase after HEMP
+
     # paths
     data_path: str = "dataset"
     save_path: str = "save"

@@ -225,7 +225,10 @@ class AREAD(CTRModel):
                     jax.lax.stop_gradient(gate_inputs)), axis=1)
             fg = fg * la[None]
             fg = fg / (jnp.sum(fg, axis=1, keepdims=True) + 1e-8)
-            out["prob"] = jnp.sum(leaf_prob * fg, axis=1)
+            # the whole leaf stack is computed under no_grad in the
+            # reference (aread.py:246-256) — towers_linear included; only
+            # the final gate trains
+            out["prob"] = jnp.sum(jax.lax.stop_gradient(leaf_prob) * fg, axis=1)
         else:  # domain_mask_bagging — trainer consumes the leaf stack
             out["prob"] = jnp.sum(leaf_prob * la[None], axis=1) / jnp.maximum(la.sum(), 1e-8)
         out["logit"] = jnp.log(jnp.clip(out["prob"], 1e-7, 1 - 1e-7)) - \

@@ -81,9 +81,10 @@ class AREADTrainer:
                 {"params": p, **state}, batch["x"], domain_mask=dm, mode=mode,
                 train=True, mask=batch["valid"], mutable=list(state.keys()),
                 rngs={"dropout": rng})
-            if mode == "wo_mask":
+            if mode in ("wo_mask", "domain_mask_final"):
                 # warm-up trains on the mean-prob prediction (aread.py:186,
-                # run.py:597-599); BCE on mean prob, via its logit transform
+                # run.py:597-599); the final-gate phase on the gate-mixed
+                # prob (run.py:701-703). BCE on prob via its logit transform
                 prob = jnp.clip(out["prob"], 1e-7, 1 - 1e-7)
                 bce = masked_mean(-(batch["y"] * jnp.log(prob)
                                     + (1 - batch["y"]) * jnp.log1p(-prob)),
@@ -171,15 +172,31 @@ class AREADTrainer:
                               domain_mask=dm, mode="domain_with_mask", train=False)
             return out["prob"]
 
+        @jax.jit
+        def eval_prob_final_step(params, state, batch, dm):
+            """Prediction through the trained final gate (reference
+            test(aread_final=True), run.py:714-727 with mode
+            'domain_mask_final')."""
+            out = model.apply({"params": params, **state}, batch["x"],
+                              domain_mask=dm, mode="domain_mask_final",
+                              train=False)
+            return out["prob"]
+
+        final_opt = make_optimizer(cfg.final_lr, cfg.wd)
+
         self._fns = {
             "main_step": make_step(main_opt, cfg.lr, "domain_mask_bagging"),
             "main_scan": make_scan(main_opt, cfg.lr, "domain_mask_bagging"),
             "fast_step": make_step(fast_opt, cfg.update_lr, "domain_mask_bagging"),
             "warmup_step": make_step(main_opt, cfg.lr, "wo_mask"),
             "warmup_scan": make_scan(main_opt, cfg.lr, "wo_mask"),
+            "final_step": make_step(final_opt, cfg.final_lr, "domain_mask_final"),
+            "final_scan": make_scan(final_opt, cfg.final_lr, "domain_mask_final"),
+            "final_opt": final_opt,
             "eval_loss": eval_loss_step,
             "eval_loss_multi": eval_loss_multi,
             "eval_prob": eval_prob_step,
+            "eval_prob_final": eval_prob_final_step,
         }
         return self._fns
 
@@ -201,9 +218,15 @@ class AREADTrainer:
 
     def init(self, rng, sample_batch):
         model = self.model
+        # init through 'domain_mask_final' so EVERY param exists, including
+        # the final gate (wo_mask init would leave final_gate uncreated and
+        # the final-gate phase would fail at apply time)
+        from aread_tpu.models.aread import full_mask
+        fm = tuple(jnp.asarray(m) for m in full_mask(model.n_tower))
         variables = jax.jit(
             lambda r, x: model.init({"params": r, "dropout": r}, x,
-                                    domain_mask=None, mode="wo_mask", train=False)
+                                    domain_mask=fm, mode="domain_mask_final",
+                                    train=False)
         )(rng, jnp.asarray(sample_batch["x"]))
         params, state = split_variables(variables)
         if self.mesh is not None:
@@ -319,6 +342,54 @@ class AREADTrainer:
                     params, state, opt_state, rng, fns["main_scan"], fns["main_step"], pending)
         return params, state, opt_state, rng, float(np.mean(losses)) if losses else np.nan
 
+    def train_final_epoch(self, params, state, opt_state, epoch_i: int,
+                          train_batcher: DomainBatcher, rng,
+                          verbose: bool = True):
+        """Final-gate training epoch (reference train_aread_final,
+        run.py:688-710): frozen body (stop_gradient inside the model's
+        'domain_mask_final' mode), BCE on the gate-mixed prob; every domain
+        is appended to the sequence at least once (run.py:694-696)."""
+        fns = self._fns or self._build_fns()
+        ms = self.mask_state
+        seq = list(train_batcher.domain_batch_seq)
+        present = set(seq)
+        seq.extend(d for d in range(self.n_domain) if d not in present)
+        losses: List[float] = []
+        pending: List[Tuple[int, Dict, List]] = []
+
+        def flush(params, state, opt_state, rng, pending):
+            if len(pending) == self.SCAN_CHUNK:
+                batches = self._place_stacked(
+                    {k: np.stack([p[1][k] for p in pending])
+                     for k in pending[0][1]})
+                dms = tuple(jnp.asarray(np.stack([np.asarray(p[2][l]) for p in pending]))
+                            for l in range(len(pending[0][2])))
+                n_ex = int(sum(p[1]["valid"].sum() for p in pending))
+                with self.step_timer.step(n_examples=n_ex):
+                    params, state, opt_state, rng, ls, _ = fns["final_scan"](
+                        params, state, opt_state, batches, dms, rng)
+                losses.extend(np.asarray(ls).tolist())
+                return params, state, opt_state, rng
+            for d, batch_np, mask in pending:
+                batch = self._place(batch_np)
+                rng, srng = jax.random.split(rng)
+                with self.step_timer.step(n_examples=int(batch_np["valid"].sum())):
+                    params, state, opt_state, loss, _ = fns["final_step"](
+                        params, state, opt_state, batch, _to_device_mask(mask), srng)
+                losses.append(float(loss))
+            return params, state, opt_state, rng
+
+        for d in seq:
+            pending.append((d, train_batcher.next_batch(d),
+                            [m.copy() for m in ms.domain_mask[d]]))
+            if len(pending) == self.SCAN_CHUNK:
+                params, state, opt_state, rng = flush(params, state, opt_state, rng, pending)
+                pending = []
+        if pending:
+            params, state, opt_state, rng = flush(params, state, opt_state, rng, pending)
+        return params, state, opt_state, rng, \
+            float(np.mean(losses)) if losses else np.nan
+
     def _mask_evolution(self, params, state, train_batcher: DomainBatcher,
                         aug_batcher: DomainBatcher, rng, verbose: bool = True):
         """HEMP candidate generation + fast adaptation + probe + selection
@@ -378,15 +449,16 @@ class AREADTrainer:
 
     # ---------------------------------------------------------------- eval
     def evaluate(self, params, state, batcher: DomainBatcher,
-                 domain_cnt_weight: np.ndarray) -> Dict:
+                 domain_cnt_weight: np.ndarray, final: bool = False) -> Dict:
         fns = self._fns or self._build_fns()
+        prob_fn = fns["eval_prob_final"] if final else fns["eval_prob"]
         ms = self.mask_state
         preds, targets, domains = [], [], []
         for d in batcher.domain_batch_seq:
             batch_np = batcher.next_batch(d)
             batch = self._place(batch_np)
-            prob = np.asarray(fns["eval_prob"](params, state, batch,
-                                               _to_device_mask(ms.domain_mask[d])))
+            prob = np.asarray(prob_fn(params, state, batch,
+                                      _to_device_mask(ms.domain_mask[d])))
             n = int(batch_np["valid"].sum())
             preds.append(prob[:n])
             targets.append(batch_np["y"][:n])
@@ -416,8 +488,9 @@ class AREADTrainer:
         return False
 
     def fit(self, data: SplitData, rng=None, epochs: Optional[int] = None,
-            verbose: bool = True) -> Dict:
+            verbose: bool = True, final_gate: Optional[bool] = None) -> Dict:
         cfg = self.config
+        final_gate = cfg.aread_final if final_gate is None else final_gate
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
         train_b = DomainBatcher(data.train_x, data.train_y, cfg.bs,
                                 data.spec.domain_idx, self.n_domain, seed=cfg.seed)
@@ -460,7 +533,44 @@ class AREADTrainer:
             params, state = self._restore(snap)
             self.mask_state.domain_mask = [
                 None if m is None else [mm.copy() for mm in m] for m in masks]
-        test_result = self.evaluate(params, state, test_b, data.domain_cnt_weight)
+
+        if final_gate:
+            # final-gate phase (reference run.py:861-885, commented out
+            # there because config.final_lr was never defined): fresh Adam
+            # at final_lr over the frozen-body 'domain_mask_final' loss,
+            # early stopping on weighted mean AUC, then test through the
+            # trained gate. Deviation: the reference trains each epoch on a
+            # 1/20th slice of the sequence (run.py:863-874); we train on the
+            # full sequence per epoch. We also reset the patience counter —
+            # the main loop exits with it exhausted.
+            fns = self._fns or self._build_fns()
+            final_opt_state = hybrid_init(fns["final_opt"], params)
+            self.trial_counter = 0
+            for epoch_i in range(epochs if epochs is not None else cfg.final_epoch):
+                t0 = time.time()
+                params, state, final_opt_state, rng, floss = self.train_final_epoch(
+                    params, state, final_opt_state, epoch_i, train_b, rng, verbose)
+                train_b.shuffle_seq()
+                result = self.evaluate(params, state, valid_b,
+                                       data.domain_cnt_weight, final=True)
+                result["train_loss"] = floss
+                result["epoch_time_s"] = time.time() - t0
+                result["phase"] = "final_gate"
+                history.append(result)
+                if verbose:
+                    print(f"final-gate epoch {epoch_i + 1}: loss={floss:.4f} "
+                          f"auc={result['total_auc']:.4f} "
+                          f"mean_auc={result.get('mean_auc', np.nan):.4f}")
+                if not self.is_continuable(params, state, result, epoch_i):
+                    break
+            if self.best_checkpoint is not None:
+                snap, masks, _ = self.best_checkpoint
+                params, state = self._restore(snap)
+                self.mask_state.domain_mask = [
+                    None if m is None else [mm.copy() for mm in m] for m in masks]
+
+        test_result = self.evaluate(params, state, test_b, data.domain_cnt_weight,
+                                    final=final_gate)
         return {"history": history, "test": test_result,
                 "params": params, "state": state,
                 "domain_mask": self.mask_state.domain_mask}

@@ -90,6 +90,68 @@ def has_output(mask: Mask) -> bool:
     return bool(mask[-1].any())
 
 
+def cluster_domain_masks(cluster_z: np.ndarray, n_tower: Sequence[int],
+                         n_domain: int):
+    """Initialize per-domain masks from a hierarchical-clustering linkage
+    matrix (reference create_domain_mask, aread.py:607-638).
+
+    ``cluster_z`` is a scipy-style linkage matrix: row i merges clusters
+    ``int(z[i,0])`` and ``int(z[i,1])`` into new cluster ``n_domain + i``.
+    Walking the merges from n_domain clusters down to n_tower[0], whenever
+    the number of live clusters equals some level's tower count, those
+    clusters become that level's towers; each domain then activates the
+    outgoing edges of every tower whose cluster contains it, and
+    validate_mask repairs input/output edges.
+
+    Returns (masks, tower2cluster) where masks[d] is a valid Mask and
+    tower2cluster[l][t] is the list of domain ids managed by tower t of
+    level l.
+    """
+    n_tower = tuple(int(t) for t in n_tower)
+    n_level = len(n_tower)
+    shapes = mask_shapes(n_tower)
+    masks: List[Mask] = [[np.zeros(s, bool) for s in shapes]
+                         for _ in range(n_domain)]
+    clusters: List[List[int]] = [[i] for i in range(n_domain)]
+    cluster_exist: List[int] = list(range(n_domain))
+    tower2cluster: List[Optional[List[int]]] = [None] * n_level
+    # deviation from the reference (which only checks after each merge,
+    # aread.py:624-625): if n_domain itself equals a level's tower count,
+    # the identity clustering is that level's assignment
+    if n_domain in n_tower:
+        tower2cluster[n_tower.index(n_domain)] = list(cluster_exist)
+    n_merge = n_domain - n_tower[0]
+    if len(cluster_z) < n_merge:
+        raise ValueError(
+            f"linkage matrix has {len(cluster_z)} rows; need at least "
+            f"{n_merge} (= n_domain - n_tower[0]) to reach {n_tower[0]} clusters")
+    for i in range(n_merge):
+        line = cluster_z[i]
+        clusters.append(clusters[int(line[0])] + clusters[int(line[1])])
+        cluster_exist.append(i + n_domain)
+        cluster_exist.remove(int(line[0]))
+        cluster_exist.remove(int(line[1]))
+        if len(cluster_exist) in n_tower:
+            tower2cluster[n_tower.index(len(cluster_exist))] = list(cluster_exist)
+    for l in range(n_level):
+        if tower2cluster[l] is None:
+            raise ValueError(
+                f"clustering never passed through {n_tower[l]} clusters for "
+                f"level {l} (n_domain={n_domain}, n_tower={n_tower})")
+    t2c_domains: List[List[List[int]]] = []
+    for l in range(n_level):
+        level_clusters = []
+        for t in range(n_tower[l]):
+            domain_cluster = clusters[tower2cluster[l][t]]
+            level_clusters.append(list(domain_cluster))
+            for d in domain_cluster:
+                # outgoing edges of level-l tower t live in mask[l+1]
+                masks[d][l + 1][t, :] = True
+        t2c_domains.append(level_clusters)
+    valid = [validate_mask(m) for m in masks]
+    return valid, t2c_domains
+
+
 @dataclasses.dataclass
 class GateAccumulator:
     """Per-domain accumulation of mean gate values (the reference's
@@ -297,3 +359,12 @@ class HempMaskState:
         shapes = mask_shapes(self.n_tower)
         for d in range(self.n_domain):
             self.domain_mask[d] = [np.ones(s, bool) for s in shapes]
+
+    def init_cluster_masks(self, cluster_z: np.ndarray):
+        """Cluster-based mask initialization (reference create_domain_mask,
+        aread.py:607-638; the optional init commented out at run.py:451-453).
+        Returns tower2cluster (domain lists per level/tower)."""
+        masks, tower2cluster = cluster_domain_masks(
+            cluster_z, self.n_tower, self.n_domain)
+        self.domain_mask = masks
+        return tower2cluster

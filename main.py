@@ -43,6 +43,11 @@ def load_config() -> Config:
     parser.add_argument("--candidate_mask_num", type=int, default=10)
     parser.add_argument("--random_modify_sigma", type=float, default=0.2)
     parser.add_argument("--init_active_percent", type=float, default=0.7)
+    parser.add_argument("--aread_final", action="store_true",
+                        help="train the leaf final gate after HEMP "
+                             "(reference run.py:861-885)")
+    parser.add_argument("--final_lr", type=float, default=1e-3)
+    parser.add_argument("--final_epoch", type=int, default=10)
     # infra
     parser.add_argument("--data_path", default="dataset")
     parser.add_argument("--save_path", default="save")

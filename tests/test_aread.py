@@ -95,3 +95,52 @@ def test_hemp_training_smoke():
     for d in range(data.n_domain):
         m = result["domain_mask"][d]
         assert m is not None and m[-1].any()
+
+
+def test_final_mode_freezes_body(aread_setup):
+    """'domain_mask_final' BCE gradients flow ONLY into the final gate
+    (reference aread.py:245-261 computes the body under no_grad and detaches
+    the gate input)."""
+    data, model, variables = aread_setup
+    x = jnp.asarray(data.train_x[:16])
+    y = jnp.asarray(data.train_y[:16].astype(np.float32))
+    dm = tuple(jnp.asarray(m) for m in full_mask(N_TOWER))
+    # init with the final mode so final_gate params exist
+    variables = jax.jit(
+        lambda r, xx: model.init({"params": r, "dropout": r}, xx,
+                                 domain_mask=tuple(np.asarray(m) for m in full_mask(N_TOWER)),
+                                 mode="domain_mask_final")
+    )(jax.random.PRNGKey(0), x)
+
+    def bce(params):
+        out = model.apply({"params": params, **{k: v for k, v in variables.items()
+                                                if k != "params"}},
+                          x, domain_mask=dm, mode="domain_mask_final", train=False)
+        p = jnp.clip(out["prob"], 1e-7, 1 - 1e-7)
+        return -jnp.mean(y * jnp.log(p) + (1 - y) * jnp.log1p(-p))
+
+    grads = jax.jit(jax.grad(bce))(variables["params"])
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    for path, g in flat:
+        name = jax.tree_util.keystr(path)
+        norm = float(jnp.abs(g).max())
+        if "final_gate" in name:
+            assert norm > 0, f"final_gate got zero grad: {name}"
+        else:
+            assert norm == 0, f"body param {name} got grad {norm}"
+
+
+def test_hemp_final_gate_smoke():
+    """fit(final_gate=True) runs the post-HEMP final-gate phase and tests
+    through the trained gate (reference run.py:861-885)."""
+    data = make_synthetic_data(n_rows=512, n_domain=3, vocab=60, seed=3)
+    model = _model(data.spec, data.n_domain)
+    cfg = Config(model="aread", bs=128, lr=1e-3, embed_dim=8,
+                 warm_up_interval=1, regroup_interval=1,
+                 regroup_update_step=1, regroup_eval_step=1,
+                 candidate_mask_num=1, epoch=1, final_epoch=1)
+    trainer = AREADTrainer(model, cfg, data.n_domain)
+    result = trainer.fit(data, epochs=1, verbose=False, final_gate=True)
+    phases = [h.get("phase") for h in result["history"]]
+    assert "final_gate" in phases
+    assert np.isfinite(result["test"]["total_auc"])

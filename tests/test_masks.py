@@ -96,3 +96,56 @@ def test_gate_threshold_quantile():
     thr = gate_threshold(mv, active_percent=1.0 / 3)
     # quantile(1 - 1/3) over [0.1 .. 0.3]*3
     assert 0.1 < thr <= 0.3
+
+
+def test_cluster_domain_masks_assigns_clusters():
+    """Cluster-based mask init (reference create_domain_mask,
+    aread.py:607-638): 8 domains, n_tower=(2,4) — merges (0,1),(2,3),
+    (4,5),(6,7) give the 4-cluster level, then (8,9),(10,11) the 2-cluster
+    level."""
+    from aread_tpu.utils.masks import cluster_domain_masks, has_output
+
+    n_tower = (2, 4)
+    z = np.array([[0, 1, 0.1, 2], [2, 3, 0.1, 2], [4, 5, 0.1, 2],
+                  [6, 7, 0.1, 2], [8, 9, 0.2, 4], [10, 11, 0.2, 4]],
+                 dtype=float)
+    masks, t2c = cluster_domain_masks(z, n_tower, n_domain=8)
+    assert len(masks) == 8
+    # level-1 towers own consecutive pairs, level-0 towers own quadruples
+    assert sorted(map(sorted, t2c[1])) == [[0, 1], [2, 3], [4, 5], [6, 7]]
+    assert sorted(map(sorted, t2c[0])) == [[0, 1, 2, 3], [4, 5, 6, 7]]
+    for d in range(8):
+        m = masks[d]
+        assert has_output(m)
+        # domain d's level-1 tower (its pair cluster) must have live output
+        leaf = next(t for t, c in enumerate(t2c[1]) if d in c)
+        assert m[2][leaf, 0]
+        # and its level-0 tower must feed it (the reference opens ALL
+        # outgoing edges of an owned tower, aread.py:633-634)
+        root = next(t for t, c in enumerate(t2c[0]) if d in c)
+        assert m[0][0, root]
+        assert m[1][root, leaf]
+        assert m[1][root].all()
+        # foreign level-0 towers stay dark: no outgoing, hence no input edge
+        for t, c in enumerate(t2c[0]):
+            if d not in c:
+                assert not m[1][t].any() and not m[0][0, t]
+
+
+def test_cluster_domain_masks_via_state():
+    from aread_tpu.utils.masks import HempMaskState
+
+    z = np.array([[0, 1, 0.1, 2], [2, 3, 0.1, 2], [4, 5, 0.1, 2],
+                  [6, 7, 0.1, 2], [8, 9, 0.2, 4], [10, 11, 0.2, 4]],
+                 dtype=float)
+    st = HempMaskState((2, 4), n_domain=8, seed=0)
+    t2c = st.init_cluster_masks(z)
+    assert all(st.domain_mask[d] is not None for d in range(8))
+    assert len(t2c) == 2
+
+
+def test_cluster_domain_masks_short_linkage_raises():
+    from aread_tpu.utils.masks import cluster_domain_masks
+
+    with np.testing.assert_raises(ValueError):
+        cluster_domain_masks(np.zeros((1, 4)), (2, 4), n_domain=8)
