@@ -118,6 +118,9 @@ class Config:
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     mesh_data: int = 1  # data-parallel axis size
     mesh_model: int = 1  # model-parallel (embedding row-shard) axis size
+    streaming_eval: bool = False  # device-resident histogram AUC (scales
+    # across the mesh; only [n_domain, auc_bins] histograms reach the host)
+    auc_bins: int = 16384
 
     def domain2group(self) -> Tuple[int, ...]:
         return DOMAIN2GROUP[self.dataset_name][self.group_strategy]

@@ -184,7 +184,23 @@ class AREADTrainer:
 
         final_opt = make_optimizer(cfg.final_lr, cfg.wd)
 
+        # streaming eval: per-domain histogram accumulation on device
+        self._auc = metrics_lib.StreamingAUC(self.n_domain, cfg.auc_bins)
+        acc = self._auc
+
+        def make_accum(eval_mode):
+            @jax.jit
+            def accum(params, state, batch, dm, d, auc_state):
+                out = model.apply({"params": params, **state}, batch["x"],
+                                  domain_mask=dm, mode=eval_mode, train=False)
+                domains = jnp.full(out["prob"].shape, d, jnp.int32)
+                return acc.update(auc_state, out["prob"], batch["y"], domains,
+                                  batch["valid"], logits=out["logit"])
+            return accum
+
         self._fns = {
+            "accum": make_accum("domain_with_mask"),
+            "accum_final": make_accum("domain_mask_final"),
             "main_step": make_step(main_opt, cfg.lr, "domain_mask_bagging"),
             "main_scan": make_scan(main_opt, cfg.lr, "domain_mask_bagging"),
             "fast_step": make_step(fast_opt, cfg.update_lr, "domain_mask_bagging"),
@@ -453,6 +469,17 @@ class AREADTrainer:
         fns = self._fns or self._build_fns()
         prob_fn = fns["eval_prob_final"] if final else fns["eval_prob"]
         ms = self.mask_state
+        if self.config.streaming_eval:
+            accum_fn = fns["accum_final"] if final else fns["accum"]
+            auc_state = self._auc.init_state()
+            for d in batcher.domain_batch_seq:
+                batch = self._place(batcher.next_batch(d))
+                auc_state = accum_fn(params, state, batch,
+                                     _to_device_mask(ms.domain_mask[d]),
+                                     jnp.int32(d), auc_state)
+            return self._auc.finalize(
+                auc_state, domain_cnt_weight,
+                multi_domain=self.config.is_evaluate_multi_domain)
         preds, targets, domains = [], [], []
         for d in batcher.domain_batch_seq:
             batch_np = batcher.next_batch(d)

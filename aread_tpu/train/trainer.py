@@ -165,6 +165,7 @@ class Trainer:
         self._train_step = None
         self._train_scan = None
         self._eval_step = None
+        self._eval_accum_step = None
         # early-stop state (reference run.py:99-103)
         self.trial_counter = 0
         self.best_auc, self.best_mean_auc = 0.0, 0.0
@@ -352,6 +353,35 @@ class Trainer:
         bs = self.config.bs * 8
         batcher = GlobalBatcher(x, y, bs, self.model.spec.domain_idx,
                                 self.domain2group, shuffle=False)
+        if self.config.streaming_eval:
+            # device-resident histogram AUC: predictions never leave the
+            # device; only [n_domain, auc_bins] histograms cross the tunnel
+            acc = metrics_lib.StreamingAUC(self.n_domain, self.config.auc_bins)
+            if self._eval_accum_step is None:
+                model = self.model
+                is_multi_tower = self.is_multi_tower
+
+                @jax.jit
+                def accum(params, state, batch, auc_state):
+                    variables = {"params": params, **state}
+                    kwargs: Dict[str, Any] = {"train": False}
+                    if "group" in batch:
+                        kwargs["group"] = batch["group"]
+                    out = model.apply(variables, batch["x"], **kwargs)
+                    prob, logit = out["prob"], out["logit"]
+                    if is_multi_tower and prob.ndim == 2:
+                        prob = gather_group(prob, batch["group"])
+                        logit = gather_group(logit, batch["group"])
+                    return acc.update(auc_state, prob, batch["y"],
+                                      batch["domain"], batch["valid"],
+                                      logits=logit)
+                self._eval_accum_step = accum
+            auc_state = acc.init_state()
+            for batch in batcher:
+                jb = self._place(batch)
+                auc_state = self._eval_accum_step(params, state, jb, auc_state)
+            return acc.finalize(auc_state, domain_cnt_weight,
+                                multi_domain=self.config.is_evaluate_multi_domain)
         preds, targets, domains = [], [], []
         for batch in batcher:
             jb = self._place(batch)

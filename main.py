@@ -53,6 +53,10 @@ def load_config() -> Config:
     parser.add_argument("--save_path", default="save")
     parser.add_argument("--mesh_data", type=int, default=1)
     parser.add_argument("--mesh_model", type=int, default=1)
+    parser.add_argument("--streaming_eval", action="store_true",
+                        help="device-resident histogram AUC eval (only "
+                             "[n_domain, auc_bins] histograms reach host)")
+    parser.add_argument("--auc_bins", type=int, default=16384)
     args = parser.parse_args()
 
     cfg_fields = {f.name for f in dataclasses.fields(Config)}
