@@ -118,6 +118,10 @@ class Config:
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     mesh_data: int = 1  # data-parallel axis size
     mesh_model: int = 1  # model-parallel (embedding row-shard) axis size
+    sparse_table_grad: bool = True  # sparse embedding-table gradients:
+    # grads taken w.r.t. the gathered rows (flax perturb tap) + 2-phase
+    # sparse Adam — bit-identical to dense torch-Adam, skips the dense
+    # [n_rows, E] cotangent (ops/sparse_adam.py)
     streaming_eval: bool = False  # device-resident histogram AUC (scales
     # across the mesh; only [n_domain, auc_bins] histograms reach the host)
     auc_bins: int = 16384

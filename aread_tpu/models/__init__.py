@@ -37,6 +37,13 @@ def build_model(config: Config, spec: FeatureSpec, n_domain: int,
     e = config.embed_dim
     if n_tower is None:
         n_tower = config.n_tower
+    if config.sparse_table_grad:
+        # lane-packed [n_rows*E/128, 128] table storage: on TPU a
+        # [N, E<128] f32 table is physically lane-padded 4x and every
+        # flat<->packed reshape is a multi-ms relayout; storing flat lets
+        # the sparse/fused Adam kernels update in place at true byte size
+        # (ops/embedding.py, ops/sparse_adam.py). No-op if 128 % E != 0.
+        spec = spec.with_flat_table(e)
     common_att = dict(atten_embed_dim=config.atten_embed_dim,
                       att_layer_num=config.att_layer_num,
                       att_head_num=config.att_head_num,

@@ -46,6 +46,10 @@ class FeatureSpec:
     domain_idx: int
     seq_maxlen: int = 5
     method: str = "mean"
+    # Store the fused table flat as [n_rows*E/128, 128] (TPU lane-packed;
+    # see ops/embedding.FeaturesEmbedding.flat_storage). Set via
+    # with_flat_table(embed_dim), which also pads the vocab.
+    flat_table: bool = False
 
     @property
     def multi_hot_flag(self) -> Tuple[bool, ...]:
@@ -75,6 +79,16 @@ class FeatureSpec:
         dims[-1] += pad
         return dataclasses.replace(self, one_hot_dims=tuple(dims))
 
+    def with_flat_table(self, embed_dim: int) -> "FeatureSpec":
+        """Enable TPU lane-packed [n_rows*E/128, 128] table storage (see
+        ops/embedding.FeaturesEmbedding.flat_storage), padding the last
+        field's vocab so n_rows divides evenly into 128-lane flat rows.
+        No-op (returns self) when 128 is not a multiple of embed_dim."""
+        if 128 % embed_dim != 0:
+            return self
+        return dataclasses.replace(self.pad_vocab(128 // embed_dim),
+                                   flat_table=True)
+
 
 def make_embedding(spec: FeatureSpec, embed_dim: int, name: str = "embedding") -> FeaturesEmbedding:
     return FeaturesEmbedding(
@@ -84,6 +98,7 @@ def make_embedding(spec: FeatureSpec, embed_dim: int, name: str = "embedding") -
         itemid_idx=spec.itemid_idx,
         seq_maxlen=spec.seq_maxlen,
         method=spec.method,
+        flat_storage=spec.flat_table,
         name=name,
     )
 

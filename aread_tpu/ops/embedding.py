@@ -52,6 +52,17 @@ class FeaturesEmbedding(nn.Module):
     seq_maxlen: int
     method: str = "mean"  # 'mean' | 'sum' | None
     param_dtype: jnp.dtype = jnp.float32
+    # Store the table as [n_rows*E/128, 128] instead of [n_rows, E].
+    # On TPU, f32 arrays are lane-padded to 128 in the minor dim, so a
+    # [1.5M, 32] table physically occupies 4x its bytes and every optimizer
+    # pass (and any reshape to the packed view) pays 4x HBM traffic /
+    # a full relayout. Flat storage makes the table, its Adam moments and
+    # the Pallas sparse/fused Adam kernels all run at true byte size.
+    # Requires 128 % E == 0 and n_rows % (128/E) == 0 (FeatureSpec.
+    # with_flat_table pads the last vocab). Same N(0,1) iid init; row r of
+    # the logical table lives at flat[r // rpf, (r % rpf)*E:(r%rpf+1)*E],
+    # i.e. plain reshape order.
+    flat_storage: bool = False
 
     @property
     def one_hot_field_num(self) -> int:
@@ -79,14 +90,39 @@ class FeaturesEmbedding(nn.Module):
     def __call__(self, x, squeeze_dim: bool = False):
         if self.method not in ("mean", "sum", None):
             raise ValueError(f"Invalid multi-hot method {self.method!r}")
-        table = self.param("table", embedding_init, (self.n_rows, self.embed_dim), self.param_dtype)
         offsets = compute_offsets(self.one_hot_dims, self.multi_hot_slots, self.itemid_idx)
         ids = x + jnp.asarray(offsets, dtype=x.dtype)[None, :]
-        # mode='clip': jnp.take's default out-of-bounds behavior is NaN-fill,
-        # which silently poisons training if an id exceeds its field vocab
-        # (the torch reference IndexErrors in that case). Clipping keeps the
-        # lookup total and finite; vocab sizing is the loader's contract.
-        embed_x = jnp.take(table, ids, axis=0, mode="clip")  # [B, F_total, E]
+        if self.flat_storage:
+            rpf = 128 // self.embed_dim
+            assert 128 % self.embed_dim == 0 and self.n_rows % rpf == 0, (
+                "flat_storage requires 128 %% E == 0 and n_rows %% (128/E)"
+                " == 0 (use FeatureSpec.with_flat_table)")
+            table = self.param("table", embedding_init,
+                               (self.n_rows // rpf, 128), self.param_dtype)
+            # clip at the table-row level (see mode='clip' note below), then
+            # gather the 128-lane flat row and select the id's lane group
+            fids = jnp.clip(ids, 0, self.n_rows - 1)
+            frows = jnp.take(table, fids // rpf, axis=0)  # [B, F, 128]
+            frows = frows.reshape(fids.shape + (rpf, self.embed_dim))
+            lane = (fids % rpf)[..., None, None]
+            embed_x = jnp.take_along_axis(frows, lane, axis=2)[..., 0, :]
+        else:
+            table = self.param("table", embedding_init,
+                               (self.n_rows, self.embed_dim), self.param_dtype)
+            # mode='clip': jnp.take's default out-of-bounds behavior is
+            # NaN-fill, which silently poisons training if an id exceeds its
+            # field vocab (the torch reference IndexErrors in that case).
+            # Clipping keeps the lookup total and finite; vocab sizing is
+            # the loader's contract.
+            embed_x = jnp.take(table, ids, axis=0, mode="clip")  # [B, F, E]
+        # Sparse-gradient tap: a flax perturbation on the gathered rows.
+        # Passthrough unless the caller supplies a 'perturbations'
+        # collection; the trainers differentiate w.r.t. it to obtain
+        # d loss/d rows WITHOUT materializing the dense [n_rows, E] table
+        # cotangent (see ops/sparse_adam.py). Skipped during init so the
+        # (batch-shaped) zero variable never enters the saved state.
+        if not self.is_initializing():
+            embed_x = self.perturb("rows", embed_x)
 
         if self.multi_hot_field_num > 0 and self.method in ("mean", "sum"):
             n_one = self.one_hot_field_num

@@ -1,0 +1,201 @@
+"""Pallas TPU kernel: dense-semantics Adam from a SPARSE data gradient.
+
+Motivation (scan-amortized, host-fetch-synchronized timings on this
+image's v5e — table 1.52M x 32, bs=1024, K = 17408 gathered ids; naive
+per-dispatch timing loops are dishonest here, see BASELINE.md):
+  * XLA dense path: zeros+scatter-add to build the [n_rows, E] cotangent
+    plus a 7-operand fused update = ~5.5 ms/step;
+  * XLA two-phase sparse (`.at[ids].set` on table-sized operands): each
+    scatter costs a full table copy (TPU scatter is never in-place, even
+    with sorted/unique hints) = ~11 ms/step;
+  * an earlier variant of THIS kernel that pre-packed a per-block
+    [grid*W, 128] gradient slab on the XLA side spent ~2 ms in the pack
+    gathers alone — so this kernel is self-contained instead: the only
+    XLA-side prep is the (already required) dedup plus two tiny ops.
+
+Layout: the kernel runs on the flat [n_rows*D/128, 128] view (requires
+n_rows*D % 128 == 0 — the loader pads the last field's vocab,
+models/base.py pad_vocab), where every DMA'd byte is real ((R, 32) blocks
+would be lane-padded 4x). Per flat block of BLOCK_F rows:
+
+  * `bounds` (scalar-prefetch, SMEM) gives the block's contiguous slice
+    [lo, hi) of the SORTED unique ids — sortedness turns per-block
+    membership into two searchsorted bounds;
+  * `gfull` [K+W, 128] — each unique id's D gradient values pre-spread to
+    its lane group ((id % rows_per_flat) * D) — stays VMEM-resident across
+    the whole grid (constant index_map => fetched once, ~9 MB);
+  * the block's W candidate rows become a one-hot [BLOCK_F, W] matrix from
+    `fr_pad` (the only XLA-side gather, int32, ~0.4 MB) and the block's
+    dense data gradient is ONE MXU matmul
+        gfix = onehot @ gfull[lo:lo+W]     [BLOCK_F, W] @ [W, 128]
+  * followed by a fully-vectorized Adam update with g = gfix + decay * w.
+
+Six full-rate HBM passes, no scatter, no scalar loops. Duplicate flat rows
+(adjacent table rows sharing one flat row) sum correctly through the
+matmul because their lane ranges are disjoint.
+
+W bounds the number of distinct table rows one block can receive from a
+batch; ids are spread over a >300k-flat-row table so per-block counts are
+~Poisson(K/G) (mean ~94 at bs=1024; W=256 is 16 sigma of headroom). The
+fp32 one-hot matmul costs ~0.4 ms at W=256 (scales linearly in W).
+Overflow is detected on-device and the caller falls back to the exact XLA
+path via lax.cond (ops/sparse_adam.py).
+
+Semantics are torch.optim.Adam exactly (same expression as
+ops/pallas/fused_adam.py; cross-checked bit-for-bit against the dense
+reference in tests/test_sparse_adam.py).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aread_tpu.ops.pallas.fused_adam import default_interpret
+
+LANES = 128
+BLOCK_F = 2048  # flat rows per grid step (= 8192 table rows at D=32)
+PAD_W = 256     # max distinct touched flat rows per block (see module doc)
+FR_WIN = 8      # grid steps per fr_pad DMA window
+
+
+def supports(n_rows: int, d: int) -> bool:
+    return LANES % d == 0 and (n_rows * d) % LANES == 0
+
+
+def _kernel(bounds_ref, scal_ref, w_ref, m_ref, v_ref, fr_ref, gfull_ref,
+            ow_ref, om_ref, ov_ref):
+    i = pl.program_id(0)
+    lr, b1, b2, eps, decay, b1c, b2c = (scal_ref[0], scal_ref[1], scal_ref[2],
+                                        scal_ref[3], scal_ref[4], scal_ref[5],
+                                        scal_ref[6])
+    # one-hot flat-row matrix: onehot[r, k] = (fr[k] == base + r); padded /
+    # out-of-block slots carry -1 and never match. fr_ref is an (FR_WIN, W)
+    # window — FR_WIN grid steps per DMA.
+    local = fr_ref[pl.ds(i % FR_WIN, 1), :] - i * BLOCK_F  # [1, W] int32
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_F, PAD_W), 0)
+    onehot = (rows == local).astype(jnp.float32)
+    # the block's gradient slab: rows lo..lo+W of the resident spread table
+    # (aligned with fr columns: fr_pad[i, k] describes sorted entry
+    # bounds[i] + k; gfull is zero-padded by W rows so lo+W <= K+W always)
+    gwin = gfull_ref[pl.ds(bounds_ref[i], PAD_W), :]  # [W, 128]
+    gfix = jnp.dot(onehot, gwin, preferred_element_type=jnp.float32)
+
+    w = w_ref[:]
+    g = gfix + decay * w
+    m2 = b1 * m_ref[:] + (1.0 - b1) * g
+    v2 = b2 * v_ref[:] + (1.0 - b2) * g * g
+    ow_ref[:] = w - lr * (m2 / b1c) / (jnp.sqrt(v2 / b2c) + eps)
+    om_ref[:] = m2
+    ov_ref[:] = v2
+
+
+def pack_meta(uids: jnp.ndarray, gsum: jnp.ndarray, n_rows: int, d: int):
+    """Kernel-side metadata from sorted-unique (uids, gsum):
+    (bounds [grid+1] i32, fr_pad [grid8, W] i32, gfull [K+W, 128], overflow).
+
+    All gather-form (uids arrive sorted from ops/sparse_adam.dedup_rows):
+    TPU scatters serialize row-at-a-time and cost milliseconds at these
+    shapes; everything here is searchsorted + one small int gather + one
+    elementwise spread."""
+    K = uids.shape[0]
+    rpf = LANES // d
+    n_flat = (n_rows * d) // LANES
+    grid = -(-n_flat // BLOCK_F)
+
+    fr = jnp.where(uids < n_rows, uids // rpf, n_flat).astype(jnp.int32)
+
+    # block boundaries in the sorted run; clamp to n_live so the sentinel
+    # tail (fr == n_flat) never lands in the last block
+    starts = jnp.arange(grid + 1, dtype=jnp.int32) * BLOCK_F
+    bounds = jnp.searchsorted(fr, starts, side="left").astype(jnp.int32)
+    n_live = jnp.searchsorted(fr, jnp.int32(n_flat), side="left").astype(
+        jnp.int32)
+    bounds = jnp.minimum(bounds, n_live)
+    overflow = jnp.any((bounds[1:] - bounds[:-1]) > PAD_W)
+
+    # fr window per block: slot (b, s) pulls sorted entry bounds[b] + s
+    src = bounds[:-1, None] + jnp.arange(PAD_W, dtype=jnp.int32)[None, :]
+    valid = src < bounds[1:, None]  # [grid, W]
+    srcc = jnp.minimum(src, K - 1).reshape(-1)
+    fr_pad = jnp.where(valid, fr[srcc].reshape(grid, PAD_W), -1)
+    grid8 = -(-grid // FR_WIN) * FR_WIN
+    if grid8 != grid:
+        fr_pad = jnp.concatenate(
+            [fr_pad, jnp.full((grid8 - grid, PAD_W), -1, jnp.int32)])
+
+    # place each unique id's D gradient values at lane group grp*D, plus W
+    # zero rows so the kernel's [lo, lo+W) window never leaves the array
+    grp = jnp.where(uids < n_rows, uids % rpf, rpf).astype(jnp.int32)
+    one_g = (grp[:, None] == jnp.arange(rpf, dtype=jnp.int32)[None, :])
+    gfull = (one_g[:, :, None].astype(gsum.dtype) * gsum[:, None, :]
+             ).reshape(K, LANES)
+    gfull = jnp.concatenate(
+        [gfull, jnp.zeros((PAD_W, LANES), gsum.dtype)])
+    return bounds, fr_pad, gfull, overflow
+
+
+def sparse_adam_kernel_update(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
+                              uids: jnp.ndarray, gsum: jnp.ndarray,
+                              t: jnp.ndarray, lr: float, b1: float = 0.9,
+                              b2: float = 0.99, eps: float = 1e-8,
+                              weight_decay: float = 1e-8, l2: float = 0.0,
+                              table_shape: Tuple[int, int] = None,
+                              interpret: bool = None
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One dense-semantics Adam step; data gradient as sorted-unique
+    (uids [K] with sentinel n_rows padding, gsum [K, D]). w/m/v may be
+    [n_rows, D] or already the flat [n_rows*D/128, 128] view (pass
+    ``table_shape`` then — strongly preferred: reshaping [N, D<128] on TPU
+    is a physical relayout costing several ms at Amazon scale). Caller
+    handles the PAD_W overflow fallback (ops/sparse_adam.sparse_table_adam).
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    n_rows, d = table_shape if table_shape is not None else w.shape
+    assert supports(n_rows, d), (n_rows, d)
+    K = uids.shape[0]
+    n_flat = (n_rows * d) // LANES
+    grid = -(-n_flat // BLOCK_F)
+    bounds, fr_pad, gfull, _ = pack_meta(uids, gsum, n_rows, d)
+
+    tf = t.astype(jnp.float32)
+    scalars = jnp.stack([
+        jnp.asarray(lr, jnp.float32), jnp.asarray(b1, jnp.float32),
+        jnp.asarray(b2, jnp.float32), jnp.asarray(eps, jnp.float32),
+        jnp.asarray(weight_decay + 2.0 * l2, jnp.float32),
+        1.0 - jnp.asarray(b1, jnp.float32) ** tf,
+        1.0 - jnp.asarray(b2, jnp.float32) ** tf,
+    ])
+
+    block = pl.BlockSpec((BLOCK_F, LANES), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+    fr_spec = pl.BlockSpec((FR_WIN, PAD_W), lambda i, *_: (i // FR_WIN, 0),
+                           memory_space=pltpu.VMEM)
+    # whole spread-gradient table resident in VMEM for the full grid
+    # (constant index_map => one DMA)
+    gfull_spec = pl.BlockSpec((K + PAD_W, LANES), lambda i, *_: (0, 0),
+                              memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # bounds, scalars
+        grid=(grid,),
+        in_specs=[block, block, block, fr_spec, gfull_spec],
+        out_specs=(block, block, block),
+    )
+    in_shape = w.shape
+    flat = lambda x: x if x.shape == (n_flat, LANES) else x.reshape(n_flat, LANES)
+    ow, om, ov = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n_flat, LANES), w.dtype),) * 3,
+        input_output_aliases={2: 0, 3: 1, 4: 2},  # w,m,v in place
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(bounds, scalars, flat(w), flat(m), flat(v), fr_pad, gfull)
+    unflat = lambda x: x.reshape(in_shape)
+    return unflat(ow), unflat(om), unflat(ov)

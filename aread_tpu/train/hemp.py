@@ -32,10 +32,13 @@ from aread_tpu.data.loader import DomainBatcher, SplitData
 from aread_tpu.models.aread import AREAD
 from aread_tpu.models.base import regularization_loss
 from aread_tpu.train import metrics as metrics_lib
-from aread_tpu.train.trainer import (bce_with_logits, hybrid_init,
-                                      hybrid_update, make_optimizer,
-                                      masked_mean, split_variables,
-                                      strip_table_rule, table_reg_value)
+from aread_tpu.train.trainer import (bce_with_logits, embedding_flat_ids,
+                                      hybrid_init, hybrid_update,
+                                      hybrid_update_sparse, make_optimizer,
+                                      masked_mean, merge_table,
+                                      perturbation_zeros, split_table,
+                                      split_variables, strip_table_rule,
+                                      table_reg_value)
 from aread_tpu.utils import profiling
 from aread_tpu.utils.masks import HempMaskState, mask_shapes
 
@@ -76,9 +79,15 @@ class AREADTrainer:
         main_opt, fast_opt = self.optimizer, self.fast_optimizer
         cfg = self.config
 
-        def bagging_loss(p, state, batch, dm, rng, mode):
+        spec, embed_dim = model.spec, model.embed_dim
+        sparse = cfg.sparse_table_grad
+
+        def bagging_loss(p, pert, state, batch, dm, rng, mode):
+            variables = {"params": p, **state}
+            if pert is not None:
+                variables["perturbations"] = pert
             out, new_state = model.apply(
-                {"params": p, **state}, batch["x"], domain_mask=dm, mode=mode,
+                variables, batch["x"], domain_mask=dm, mode=mode,
                 train=True, mask=batch["valid"], mutable=list(state.keys()),
                 rngs={"dropout": rng})
             if mode in ("wo_mask", "domain_mask_final"):
@@ -101,13 +110,35 @@ class AREADTrainer:
                 + table_reg_value(p["embedding"]["table"])
             return loss, (new_state, out["gate_means"])
 
+        def step_core(opt, opt_lr, mode, params, state, opt_state, batch, dm, rng):
+            if sparse:
+                # grads w.r.t. gathered rows (perturb tap) + 2-phase sparse
+                # Adam — bit-identical to dense, no [n_rows, E] cotangent
+                table, rest = split_table(params)
+
+                def lf(rest_p, pert):
+                    return bagging_loss(merge_table(rest_p, table), pert,
+                                        state, batch, dm, rng, mode)
+
+                pert0 = perturbation_zeros(spec, batch["x"], embed_dim)
+                (loss, (new_state, gms)), (g_rest, g_pert) = jax.value_and_grad(
+                    lf, argnums=(0, 1), has_aux=True)(rest, pert0)
+                ids = embedding_flat_ids(spec, batch["x"])
+                new_params, new_opt_state = hybrid_update_sparse(
+                    opt, opt_lr, cfg.wd, params, g_rest, ids,
+                    g_pert["embedding"]["rows"], opt_state,
+                    table_shape=(int(np.sum(spec.one_hot_dims)), embed_dim))
+                return new_params, dict(new_state), new_opt_state, loss, gms
+            (loss, (new_state, gms)), grads = jax.value_and_grad(
+                bagging_loss, has_aux=True)(params, None, state, batch, dm, rng, mode)
+            new_params, new_opt_state = hybrid_update(
+                opt, opt_lr, cfg.wd, params, grads, opt_state)
+            return new_params, dict(new_state), new_opt_state, loss, gms
+
         def make_step(opt, opt_lr, mode):
             def step(params, state, opt_state, batch, dm, rng):
-                (loss, (new_state, gms)), grads = jax.value_and_grad(
-                    bagging_loss, has_aux=True)(params, state, batch, dm, rng, mode)
-                new_params, new_opt_state = hybrid_update(
-                    opt, opt_lr, cfg.wd, params, grads, opt_state)
-                return new_params, dict(new_state), new_opt_state, loss, gms
+                return step_core(opt, opt_lr, mode, params, state, opt_state,
+                                 batch, dm, rng)
             return jax.jit(step, donate_argnums=(0, 1, 2))
 
         def make_scan(opt, opt_lr, mode):
@@ -116,11 +147,8 @@ class AREADTrainer:
             tunneled TPU. ``batches``/``dms`` carry a leading [S] axis;
             per-step gate means come back stacked for host recording."""
             def step(params, state, opt_state, batch, dm, rng):
-                (loss, (new_state, gms)), grads = jax.value_and_grad(
-                    bagging_loss, has_aux=True)(params, state, batch, dm, rng, mode)
-                new_params, new_opt_state = hybrid_update(
-                    opt, opt_lr, cfg.wd, params, grads, opt_state)
-                return new_params, dict(new_state), new_opt_state, loss, gms
+                return step_core(opt, opt_lr, mode, params, state, opt_state,
+                                 batch, dm, rng)
 
             def scan_fn(params, state, opt_state, batches, dms, rng):
                 def body(carry, inp):

@@ -57,8 +57,11 @@ def make_optimizer(lr: float, wd: float = 1e-8) -> optax.GradientTransformation:
 
 
 def split_variables(variables) -> Tuple[Dict, Dict]:
+    # 'perturbations' (the sparse-grad tap, ops/embedding.py) is an input
+    # collection the step supplies per batch, never carried state
     params = variables["params"]
-    state = {k: v for k, v in variables.items() if k != "params"}
+    state = {k: v for k, v in variables.items()
+             if k not in ("params", "perturbations")}
     return params, state
 
 
@@ -140,6 +143,51 @@ def hybrid_update(optimizer: optax.GradientTransformation, lr: float, wd: float,
     new_table, m, v = table_fn(
         p_table, opt_state["m"], opt_state["v"], g_table, t,
         lr=lr, weight_decay=wd, l2=table_l2)
+    updates, new_inner = optimizer.update(g_rest, opt_state["inner"], p_rest)
+    new_rest = optax.apply_updates(p_rest, updates)
+    new_opt_state = {"inner": new_inner, "m": m, "v": v, "t": t}
+    return merge_table(new_rest, new_table), new_opt_state
+
+
+def embedding_flat_ids(spec, x) -> jnp.ndarray:
+    """The table row each input column gathers (offsets applied, clipped
+    exactly like the forward's take(mode='clip')) — the sparse scatter
+    targets for ops/sparse_adam."""
+    from aread_tpu.ops.embedding import compute_offsets
+
+    offsets = compute_offsets(spec.one_hot_dims,
+                              spec.n_seq_fields * spec.seq_maxlen,
+                              spec.itemid_idx)
+    n_rows = int(np.sum(spec.one_hot_dims))
+    ids = x + jnp.asarray(offsets, dtype=x.dtype)[None, :]
+    return jnp.clip(ids, 0, n_rows - 1)
+
+
+def perturbation_zeros(spec, x, embed_dim: int) -> Dict:
+    """Zero 'perturbations' collection matching the embedding tap."""
+    return {"embedding": {"rows": jnp.zeros(x.shape + (embed_dim,),
+                                            jnp.float32)}}
+
+
+def hybrid_update_sparse(optimizer: optax.GradientTransformation, lr: float,
+                         wd: float, params: Dict, g_rest: Dict,
+                         table_ids: jnp.ndarray, row_grads: jnp.ndarray,
+                         opt_state: Dict, table_l2: float = TABLE_L2,
+                         table_shape: Tuple[int, int] = None
+                         ) -> Tuple[Dict, Dict]:
+    """hybrid_update with the table's data gradient in sparse (ids, rows)
+    form: the dense [n_rows, E] cotangent never exists. Bit-identical to
+    the dense path (ops/sparse_adam.py). ``g_rest`` excludes the table.
+    ``table_shape``: logical (n_rows, E), required when the table is
+    stored flat (spec.flat_table)."""
+    from aread_tpu.ops.sparse_adam import sparse_table_adam
+
+    p_table, p_rest = split_table(params)
+    t = opt_state["t"] + 1
+    new_table, m, v = sparse_table_adam(
+        p_table, opt_state["m"], opt_state["v"],
+        table_ids.reshape(-1), row_grads.reshape(-1, row_grads.shape[-1]),
+        t, lr=lr, weight_decay=wd, l2=table_l2, table_shape=table_shape)
     updates, new_inner = optimizer.update(g_rest, opt_state["inner"], p_rest)
     new_rest = optax.apply_updates(p_rest, updates)
     new_opt_state = {"inner": new_inner, "m": m, "v": v, "t": t}
@@ -230,12 +278,15 @@ class Trainer:
         is_multi_tower = self.is_multi_tower
         lr, wd = self.config.lr, self.config.wd
 
+        spec = self.model.spec
+        embed_dim = self.model.embed_dim
+        sparse = self.config.sparse_table_grad
+
         def step_core(params, state, opt_state, batch, rng):
             x, y, valid = batch["x"], batch["y"], batch["valid"]
             group = batch.get("group")
 
-            def loss_fn(p):
-                variables = {"params": p, **state}
+            def forward(variables):
                 kwargs = {"train": True, "mask": valid}
                 if group is not None:
                     kwargs["group"] = group
@@ -245,7 +296,34 @@ class Trainer:
                 logit = out["logit"]
                 if is_multi_tower and logit.ndim == 2:
                     logit = gather_group(logit, group if group is not None else batch["domain"])
-                bce = masked_mean(bce_with_logits(logit, y), valid)
+                return masked_mean(bce_with_logits(logit, y), valid), new_state
+
+            if sparse:
+                # data grads w.r.t. the GATHERED rows (flax perturb tap,
+                # ops/embedding.py) — the dense table cotangent is never
+                # built; table goes through the 2-phase sparse Adam
+                table, rest = split_table(params)
+
+                def loss_fn(rest_p, pert):
+                    variables = {"params": merge_table(rest_p, table),
+                                 "perturbations": pert, **state}
+                    bce, new_state = forward(variables)
+                    loss = bce + regularization_loss(rest_p, reg_rules) \
+                        + table_reg_value(table)
+                    return loss, new_state
+
+                pert0 = perturbation_zeros(spec, x, embed_dim)
+                (loss, new_state), (g_rest, g_pert) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True)(rest, pert0)
+                ids = embedding_flat_ids(spec, x)
+                new_params, new_opt_state = hybrid_update_sparse(
+                    optimizer, lr, wd, params, g_rest, ids,
+                    g_pert["embedding"]["rows"], opt_state,
+                    table_shape=(int(np.sum(spec.one_hot_dims)), embed_dim))
+                return new_params, dict(new_state), new_opt_state, loss
+
+            def loss_fn(p):
+                bce, new_state = forward({"params": p, **state})
                 loss = bce + regularization_loss(p, reg_rules) \
                     + table_reg_value(p["embedding"]["table"])
                 return loss, new_state

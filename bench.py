@@ -37,9 +37,11 @@ def main():
 
     from aread_tpu.models.aread import AREAD, full_mask
     from aread_tpu.models.base import FeatureSpec, regularization_loss
-    from aread_tpu.train.trainer import (bce_with_logits, hybrid_init,
-                                         hybrid_update, make_optimizer,
-                                         masked_mean, split_variables,
+    from aread_tpu.train.trainer import (bce_with_logits, embedding_flat_ids,
+                                         hybrid_init, hybrid_update_sparse,
+                                         make_optimizer, masked_mean,
+                                         merge_table, perturbation_zeros,
+                                         split_table, split_variables,
                                          strip_table_rule, table_reg_value)
 
     bs, embed_dim = 1024, 32
@@ -48,6 +50,10 @@ def main():
     spec = FeatureSpec(
         one_hot_dims=(1368287, 7, 25, 40, 11, 150000, 12),
         n_seq_fields=2, itemid_idx=0, domain_idx=2, seq_maxlen=5)
+    # lane-packed flat table storage, as build_model configures it for
+    # sparse_table_grad (a [N, 32] f32 table is physically lane-padded 4x
+    # on TPU, and flat<->packed reshapes are multi-ms relayouts)
+    spec = spec.with_flat_table(embed_dim)
     n_domain = 25
     model = AREAD(spec=spec, embed_dim=embed_dim, n_tower=(3, 6, 12),
                   n_domain=n_domain, base_model="mmoe",
@@ -78,11 +84,17 @@ def main():
     # dishonest benchmarking and not how the trainers run (they scan too —
     # train/trainer.py, train/hemp.py).
     def one_step(carry, rng):
+        # sparse-table-grad step, exactly what the trainers run
+        # (train/trainer.py step_core, train/hemp.py): grads w.r.t. the
+        # gathered rows via the perturb tap + 2-phase sparse Adam — the
+        # dense [1.52M, 32] table cotangent never exists
         params, state, opt_state = carry
+        table, rest = split_table(params)
 
-        def loss_fn(p):
+        def loss_fn(rest_p, pert):
             out, new_state = model.apply(
-                {"params": p, **state}, x, domain_mask=dm,
+                {"params": merge_table(rest_p, table), "perturbations": pert,
+                 **state}, x, domain_mask=dm,
                 mode="domain_mask_bagging", train=True, mask=valid,
                 mutable=list(state.keys()), rngs={"dropout": rng})
             per_leaf = jax.vmap(
@@ -90,13 +102,18 @@ def main():
                 in_axes=1)(out["leaf_logit"])
             la = out["leaf_active"].astype(per_leaf.dtype)
             bce = jnp.sum(per_leaf * la) / jnp.maximum(la.sum(), 1e-8)
-            loss = bce + regularization_loss(p, reg_rules) \
-                + table_reg_value(p["embedding"]["table"])
+            loss = bce + regularization_loss(rest_p, reg_rules) \
+                + table_reg_value(table)
             return loss, new_state
 
-        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        new_params, new_opt_state = hybrid_update(
-            optimizer, 1e-3, 1e-8, params, grads, opt_state)
+        pert0 = perturbation_zeros(spec, x, embed_dim)
+        (loss, new_state), (g_rest, g_pert) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(rest, pert0)
+        ids = embedding_flat_ids(spec, x)
+        new_params, new_opt_state = hybrid_update_sparse(
+            optimizer, 1e-3, 1e-8, params, g_rest, ids,
+            g_pert["embedding"]["rows"], opt_state,
+            table_shape=(int(np.sum(spec.one_hot_dims)), embed_dim))
         return (new_params, dict(new_state), new_opt_state), loss
 
     n_steps = 50

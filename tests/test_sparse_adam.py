@@ -1,0 +1,226 @@
+"""Sparse-table-gradient path: must be bit-identical to the dense path."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aread_tpu.ops.pallas.fused_adam import reference_adam_update
+from aread_tpu.ops.sparse_adam import dedup_rows, sparse_table_adam
+
+
+def test_dedup_rows_sums_duplicates():
+    ids = jnp.asarray([5, 2, 5, 7, 2, 5], jnp.int32)
+    g = jnp.arange(12, dtype=jnp.float32).reshape(6, 2)
+    uids, gsum = dedup_rows(ids, g, n_rows=10)
+    got = {int(u): gsum[i].tolist() for i, u in enumerate(np.asarray(uids))
+           if int(u) < 10}
+    assert got[2] == [(2 + 8), (3 + 9)]
+    assert got[5] == [(0 + 4 + 10), (1 + 5 + 11)]
+    assert got[7] == [6.0, 7.0]
+    # padding entries carry the sentinel
+    assert sorted(int(u) for u in np.asarray(uids))[-3:] == [10, 10, 10]
+
+
+def test_sparse_adam_equals_dense():
+    rng = np.random.default_rng(0)
+    n_rows, D, K = 200, 8, 64
+    w = jnp.asarray(rng.normal(size=(n_rows, D)), jnp.float32)
+    m = jnp.asarray(rng.normal(size=(n_rows, D)) * 0.1, jnp.float32)
+    v = jnp.asarray(np.abs(rng.normal(size=(n_rows, D))) * 0.01, jnp.float32)
+    ids = jnp.asarray(rng.integers(0, n_rows, K), jnp.int32)
+    gv = jnp.asarray(rng.normal(size=(K, D)), jnp.float32)
+    dense_g = jnp.zeros((n_rows, D), jnp.float32).at[ids].add(gv)
+    t = jnp.asarray(3, jnp.int32)
+    kw = dict(lr=1e-3, b1=0.9, b2=0.99, eps=1e-8, weight_decay=1e-8, l2=1e-5)
+
+    dw, dm, dv = reference_adam_update(w, m, v, dense_g, t, **kw)
+    sw, sm, sv = jax.jit(lambda *a: sparse_table_adam(*a, **kw))(w, m, v, ids, gv, t)
+    np.testing.assert_allclose(np.asarray(sw), np.asarray(dw), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sm), np.asarray(dm), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(dv), rtol=0, atol=1e-6)
+
+
+def test_trainer_sparse_step_matches_dense():
+    """One full train step with sparse_table_grad on vs off from identical
+    init: params must match to float32 tolerance."""
+    from aread_tpu.config import Config
+    from aread_tpu.data.loader import make_synthetic_data, GlobalBatcher
+    from aread_tpu.models.deepfm import DeepFM
+    from aread_tpu.train.trainer import Trainer
+
+    data = make_synthetic_data(n_rows=512, n_domain=3, vocab=60, seed=7)
+
+    def one_step(sparse):
+        model = DeepFM(spec=data.spec, embed_dim=8, mlp_dims=(16, 8))
+        cfg = Config(model="deepfm", bs=128, embed_dim=8, epoch=1,
+                     dropout=0.0, sparse_table_grad=sparse)
+        tr = Trainer(model, cfg, data.n_domain)
+        batcher = GlobalBatcher(data.train_x, data.train_y, cfg.bs,
+                                data.spec.domain_idx, tr.domain2group,
+                                seed=cfg.seed)
+        batch = next(iter(batcher))
+        params, state, opt_state = tr.init(jax.random.PRNGKey(0), batch)
+        step = tr._build_train_step()
+        jb = tr._place(batch)
+        params, state, opt_state, loss = step(params, state, opt_state, jb,
+                                              jax.random.PRNGKey(1))
+        return params, float(loss)
+
+    p_dense, l_dense = one_step(False)
+    p_sparse, l_sparse = one_step(True)
+    assert abs(l_dense - l_sparse) < 1e-6
+    flat_s = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_flatten_with_path(p_sparse)[0]}
+    for k, vd in jax.tree_util.tree_flatten_with_path(p_dense)[0]:
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(np.asarray(flat_s[ks]), np.asarray(vd),
+                                   rtol=0, atol=2e-6, err_msg=ks)
+
+
+def test_pallas_sparse_kernel_matches_dense():
+    """The Pallas sparse-Adam kernel (interpret mode on CPU) must equal the
+    dense reference update bit-for-bit, including sentinel padding rows and
+    a table size that is not a multiple of the kernel block."""
+    from aread_tpu.ops.pallas.sparse_adam_kernel import (
+        BLOCK_F, supports, sparse_adam_kernel_update)
+
+    rng = np.random.default_rng(1)
+    # rows_per_flat = 16 at D=8; choose a flat count straddling blocks with
+    # a ragged (non-multiple-of-BLOCK_F) tail
+    n_rows, D, K = (BLOCK_F + 513) * 16, 8, 256
+    assert supports(n_rows, D)
+    w = jnp.asarray(rng.normal(size=(n_rows, D)), jnp.float32)
+    m = jnp.asarray(rng.normal(size=(n_rows, D)) * 0.1, jnp.float32)
+    v = jnp.asarray(np.abs(rng.normal(size=(n_rows, D))) * 0.01, jnp.float32)
+    ids = jnp.asarray(rng.integers(0, n_rows, K), jnp.int32)
+    # include ids in the ragged last block
+    ids = ids.at[:8].set(jnp.arange(n_rows - 8, n_rows, dtype=jnp.int32))
+    gv = jnp.asarray(rng.normal(size=(K, D)), jnp.float32)
+    t = jnp.asarray(5, jnp.int32)
+    kw = dict(lr=1e-3, b1=0.9, b2=0.99, eps=1e-8, weight_decay=1e-8, l2=1e-5)
+
+    dense_g = jnp.zeros((n_rows, D), jnp.float32).at[ids].add(gv)
+    dw, dm, dv = reference_adam_update(w, m, v, dense_g, t, **kw)
+
+    uids, gsum = dedup_rows(ids, gv, n_rows)
+    sw, sm, sv = sparse_adam_kernel_update(w, m, v, uids, gsum, t,
+                                           interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(sw), np.asarray(dw), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sm), np.asarray(dm), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(dv), rtol=0, atol=1e-6)
+
+    # flat [n_rows*D/128, 128] storage must give the identical result
+    flat = lambda a: a.reshape(-1, 128)
+    fw, fm, fv = sparse_adam_kernel_update(flat(w), flat(m), flat(v), uids,
+                                           gsum, t, table_shape=(n_rows, D),
+                                           interpret=True, **kw)
+    assert fw.shape == (n_rows * D // 128, 128)
+    np.testing.assert_array_equal(np.asarray(fw), np.asarray(flat(sw)))
+    np.testing.assert_array_equal(np.asarray(fm), np.asarray(flat(sm)))
+    np.testing.assert_array_equal(np.asarray(fv), np.asarray(flat(sv)))
+
+
+def test_sparse_table_adam_flat_layout():
+    """Dispatcher with flat-layout w/m/v + table_shape equals the packed
+    call (CPU falls back to the XLA path; reshapes are free there)."""
+    rng = np.random.default_rng(4)
+    n_rows, D, K = 512, 8, 96  # 512*8 % 128 == 0
+    w = jnp.asarray(rng.normal(size=(n_rows, D)), jnp.float32)
+    m = jnp.asarray(rng.normal(size=(n_rows, D)) * 0.1, jnp.float32)
+    v = jnp.asarray(np.abs(rng.normal(size=(n_rows, D))) * 0.01, jnp.float32)
+    ids = jnp.asarray(rng.integers(0, n_rows, K), jnp.int32)
+    gv = jnp.asarray(rng.normal(size=(K, D)), jnp.float32)
+    t = jnp.asarray(2, jnp.int32)
+    kw = dict(lr=1e-3, weight_decay=1e-8, l2=1e-5)
+
+    pw, pm, pv = sparse_table_adam(w, m, v, ids, gv, t, **kw)
+    flat = lambda a: a.reshape(-1, 128)
+    fw, fm, fv = sparse_table_adam(flat(w), flat(m), flat(v), ids, gv, t,
+                                   table_shape=(n_rows, D), **kw)
+    assert fw.shape == flat(w).shape
+    np.testing.assert_array_equal(np.asarray(fw), np.asarray(flat(pw)))
+    np.testing.assert_array_equal(np.asarray(fm), np.asarray(flat(pm)))
+    np.testing.assert_array_equal(np.asarray(fv), np.asarray(flat(pv)))
+
+
+def test_flat_storage_embedding_matches_packed():
+    """FeaturesEmbedding with flat_storage gathers the same vectors as the
+    packed layout when fed the reshaped table (row r of the packed table
+    lives at flat[r//rpf, (r%rpf)*E:]), including clip + multi-hot pooling
+    and the sparse-grad perturb tap."""
+    from aread_tpu.ops.embedding import FeaturesEmbedding
+
+    rng = np.random.default_rng(5)
+    dims, E = (64, 7, 9, 48), 8  # total 128 rows -> n_flat = 8
+    kwargs = dict(one_hot_dims=dims, embed_dim=E,
+                  multi_hot_flag=(False,) * 4 + (True,) * 10,
+                  itemid_idx=0, seq_maxlen=5, method="mean")
+    packed = FeaturesEmbedding(**kwargs)
+    flatm = FeaturesEmbedding(flat_storage=True, **kwargs)
+
+    table = jnp.asarray(rng.normal(size=(128, E)), jnp.float32)
+    B = 16
+    x = np.concatenate(
+        [rng.integers(0, d, size=(B, 1)) for d in dims]
+        + [rng.integers(0, dims[0], size=(B, 10))], axis=1).astype(np.int32)
+    x = jnp.asarray(x)
+
+    out_p = packed.apply({"params": {"table": table}}, x)
+    out_f = flatm.apply({"params": {"table": table.reshape(-1, 128)}}, x)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                               rtol=0, atol=1e-6)
+
+    # grads w.r.t. the perturb tap (the sparse data gradient) match too
+    def tap_grad(mod, tab):
+        def f(pert):
+            return jnp.sum(mod.apply({"params": {"table": tab},
+                                      "perturbations": pert}, x) ** 2)
+        pert0 = {"rows": jnp.zeros(x.shape + (E,), jnp.float32)}
+        return jax.grad(f)(pert0)["rows"]
+
+    gp = tap_grad(packed, table)
+    gf = tap_grad(flatm, table.reshape(-1, 128))
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gp),
+                               rtol=0, atol=1e-6)
+
+
+def test_trainer_sparse_flat_step_matches_dense():
+    """Full train step with sparse_table_grad + flat_table storage vs the
+    dense packed step from identical init: same loss, same table values."""
+    from aread_tpu.config import Config
+    from aread_tpu.data.loader import make_synthetic_data, GlobalBatcher
+    from aread_tpu.models.deepfm import DeepFM
+    from aread_tpu.train.trainer import Trainer
+
+    data = make_synthetic_data(n_rows=512, n_domain=3, vocab=60, seed=7)
+    E = 8
+
+    def one_step(spec, sparse):
+        model = DeepFM(spec=spec, embed_dim=E, mlp_dims=(16, 8))
+        cfg = Config(model="deepfm", bs=128, embed_dim=E, epoch=1,
+                     dropout=0.0, sparse_table_grad=sparse)
+        tr = Trainer(model, cfg, data.n_domain)
+        batcher = GlobalBatcher(data.train_x, data.train_y, cfg.bs,
+                                data.spec.domain_idx, tr.domain2group,
+                                seed=cfg.seed)
+        batch = next(iter(batcher))
+        params, state, opt_state = tr.init(jax.random.PRNGKey(0), batch)
+        step = tr._build_train_step()
+        jb = tr._place(batch)
+        params, state, opt_state, loss = step(params, state, opt_state, jb,
+                                              jax.random.PRNGKey(1))
+        return params, float(loss)
+
+    flat_spec = data.spec.with_flat_table(E)
+    assert flat_spec.flat_table
+    p_flat, l_flat = one_step(flat_spec, True)
+    # same padded vocab, packed storage, dense grads — the ground truth
+    p_dense, l_dense = one_step(dataclasses.replace(flat_spec,
+                                                    flat_table=False), False)
+    assert abs(l_flat - l_dense) < 1e-6
+    tf = np.asarray(p_flat["embedding"]["table"])
+    td = np.asarray(p_dense["embedding"]["table"])
+    assert tf.shape[1] == 128
+    np.testing.assert_allclose(tf.reshape(td.shape), td, rtol=0, atol=2e-6)
