@@ -113,6 +113,10 @@ class Config:
     # paths
     data_path: str = "dataset"
     save_path: str = "save"
+    # warm-start params/state (and AREAD domain masks) from the saved
+    # best checkpoint before training (reference config.py:10,
+    # run.py:835-840)
+    is_increment: bool = False
 
     # TPU-native knobs (new)
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import ast
 import dataclasses
+import os
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -92,21 +93,64 @@ def tensorize(df: pd.DataFrame, one_hot_cols: Sequence[str], seq_cols: Sequence[
     return x, y
 
 
+def _cache_dir() -> Optional[str]:
+    """Parsed-tensor cache location (reference caches parsed tensors to
+    ``{mode}_data_loader.pth`` next to the CSV, run.py:260-263; the dataset
+    dir here may be read-only, so default to ~/.cache/aread_tpu).
+    Set AREAD_TPU_CACHE=0 to disable, or to a directory to relocate."""
+    env = os.environ.get("AREAD_TPU_CACHE")
+    if env == "0":
+        return None
+    return env or os.path.join(os.path.expanduser("~"), ".cache", "aread_tpu")
+
+
 def _read_arrays(path: str, one_hot_cols: Sequence[str], seq_cols: Sequence[str],
                  label_col: str, split_col: str, seq_maxlen: int,
                  pad_value: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(x, y, split) for one CSV: the native C++ parser when available
+    """(x, y, split) for one CSV: memory-mapped .npy cache when warm
+    (keyed on file identity + parse options), else the native C++ parser
     (aread_tpu.native — one multi-threaded pass), pandas otherwise."""
+    cache_root = _cache_dir()
+    cdir = None
+    if cache_root is not None:
+        import hashlib
+        st = os.stat(path)
+        key = hashlib.sha1(repr((os.path.abspath(path), st.st_mtime_ns,
+                                 st.st_size, tuple(one_hot_cols),
+                                 tuple(seq_cols), label_col, split_col,
+                                 seq_maxlen, pad_value)).encode()).hexdigest()
+        cdir = os.path.join(cache_root, key)
+        if os.path.exists(os.path.join(cdir, "split.npy")):
+            # mmap: the arrays are only fancy-indexed downstream (split
+            # filters produce copies), so pages load on demand
+            return (np.load(os.path.join(cdir, "x.npy"), mmap_mode="r"),
+                    np.load(os.path.join(cdir, "y.npy"), mmap_mode="r"),
+                    np.load(os.path.join(cdir, "split.npy"), mmap_mode="r"))
+
+    out = None
     if native.available():
         try:
-            return native.load_csv(path, one_hot_cols, seq_cols, label_col,
-                                   split_col, seq_maxlen, pad_value)
+            out = native.load_csv(path, one_hot_cols, seq_cols, label_col,
+                                  split_col, seq_maxlen, pad_value)
         except RuntimeError:
             pass  # fall back to pandas (e.g. malformed file)
-    df = pd.read_csv(path, usecols=list(one_hot_cols) + list(seq_cols)
-                     + [label_col, split_col])
-    x, y = tensorize(df, one_hot_cols, seq_cols, label_col, seq_maxlen, pad_value)
-    return x, y, df[split_col].to_numpy(dtype=np.float64)
+    if out is None:
+        df = pd.read_csv(path, usecols=list(one_hot_cols) + list(seq_cols)
+                         + [label_col, split_col])
+        x, y = tensorize(df, one_hot_cols, seq_cols, label_col, seq_maxlen,
+                         pad_value)
+        out = (x, y, df[split_col].to_numpy(dtype=np.float64))
+
+    if cdir is not None:
+        try:
+            os.makedirs(cdir, exist_ok=True)
+            for name, arr in zip(("x", "y", "split"), out):
+                tmp = os.path.join(cdir, f".{name}.npy.tmp")
+                np.save(tmp, arr)
+                os.replace(tmp, os.path.join(cdir, f"{name}.npy"))
+        except OSError:
+            pass  # cache is best-effort
+    return out
 
 
 def load_split_data(

@@ -543,7 +543,11 @@ class AREADTrainer:
         return False
 
     def fit(self, data: SplitData, rng=None, epochs: Optional[int] = None,
-            verbose: bool = True, final_gate: Optional[bool] = None) -> Dict:
+            verbose: bool = True, final_gate: Optional[bool] = None,
+            warm_start: Optional[Dict] = None) -> Dict:
+        """``warm_start``: checkpoint dict (train.checkpoint.load_checkpoint)
+        providing params/state and optionally the per-domain HEMP masks —
+        the reference's is_increment restart (run.py:835-840)."""
         cfg = self.config
         final_gate = cfg.aread_final if final_gate is None else final_gate
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
@@ -565,6 +569,15 @@ class AREADTrainer:
         init_rng, rng = jax.random.split(rng)
         sample = train_b.next_batch(int(np.argmax([len(i) for i in train_b.domain_indices])))
         params, state, opt_state = self.init(init_rng, sample)
+        if warm_start is not None:
+            from aread_tpu.train.trainer import adopt_tree
+            params = adopt_tree(params, warm_start["params"])
+            if warm_start.get("state"):
+                state = adopt_tree(state, warm_start["state"])
+            if warm_start.get("domain_mask"):
+                self.mask_state.domain_mask = [
+                    None if m is None else [np.asarray(mm, bool) for mm in m]
+                    for m in warm_start["domain_mask"]]
 
         history = []
         for epoch_i in range(epochs if epochs is not None else cfg.epoch):

@@ -63,7 +63,9 @@ class MamdrTrainer(Trainer):
         return params, state, opt_state, rng
 
     def fit(self, data: SplitData, rng=None, epochs: Optional[int] = None,
-            verbose: bool = True) -> Dict:
+            verbose: bool = True, warm_start: Optional[Dict] = None) -> Dict:
+        """``warm_start``: checkpoint dict — params seed the shared meta
+        weights (is_increment restart, reference run.py:835-840)."""
         cfg = self.config
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
         nd = self.n_domain
@@ -78,6 +80,11 @@ class MamdrTrainer(Trainer):
         init_rng, rng = jax.random.split(rng)
         sample = train_b.next_batch(0)
         params, state, opt_state = self.init(init_rng, sample)
+        if warm_start is not None:
+            from aread_tpu.train.trainer import adopt_tree
+            params = adopt_tree(params, warm_start["params"])
+            if warm_start.get("state"):
+                state = adopt_tree(state, warm_start["state"])
         self.meta_weights = tree_clone(params)
         # Specific (per-domain) weights start at ZERO so merged = shared at
         # t=0. The reference clones the full initial weights into both

@@ -194,6 +194,20 @@ def hybrid_update_sparse(optimizer: optax.GradientTransformation, lr: float,
     return merge_table(new_rest, new_table), new_opt_state
 
 
+def adopt_tree(init_tree, loaded_tree):
+    """Map checkpoint-loaded (numpy) leaves onto a freshly initialized
+    tree, keeping each init leaf's dtype and device/sharding placement
+    (mesh runs included). Shapes must match — a shape error here means the
+    checkpoint was written by a different model/spec configuration."""
+    def one(i, l):
+        arr = jnp.asarray(np.asarray(l), dtype=i.dtype)
+        assert arr.shape == i.shape, (arr.shape, i.shape)
+        if hasattr(i, "sharding"):
+            return jax.device_put(arr, i.sharding)
+        return arr
+    return jax.tree_util.tree_map(one, init_tree, loaded_tree)
+
+
 class Trainer:
     """Generic trainer for single-output and multi-tower models."""
 
@@ -501,7 +515,11 @@ class Trainer:
         return False
 
     def fit(self, data: SplitData, rng=None, epochs: Optional[int] = None,
-            verbose: bool = True) -> Dict:
+            verbose: bool = True, warm_start: Optional[Dict] = None) -> Dict:
+        """``warm_start``: a checkpoint dict (train.checkpoint.
+        load_checkpoint) whose params/state replace the fresh init — the
+        reference's is_increment restart (run.py:835-840; the optimizer
+        starts fresh, matching a new Adam over loaded weights)."""
         cfg = self.config
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
         d2g = self.domain2group
@@ -510,6 +528,10 @@ class Trainer:
         init_rng, rng = jax.random.split(rng)
         sample = next(iter(batcher))
         params, state, opt_state = self.init(init_rng, sample)
+        if warm_start is not None:
+            params = adopt_tree(params, warm_start["params"])
+            if warm_start.get("state"):
+                state = adopt_tree(state, warm_start["state"])
 
         history = []
         for epoch_i in range(epochs if epochs is not None else cfg.epoch):

@@ -51,6 +51,9 @@ def load_config() -> Config:
     # infra
     parser.add_argument("--data_path", default="dataset")
     parser.add_argument("--save_path", default="save")
+    parser.add_argument("--is_increment", action="store_true",
+                        help="warm-start from the saved best checkpoint "
+                             "(reference config.py:10, run.py:835-840)")
     parser.add_argument("--mesh_data", type=int, default=1)
     parser.add_argument("--mesh_model", type=int, default=1)
     parser.add_argument("--streaming_eval", action="store_true",
@@ -125,17 +128,27 @@ def main():
         data = _dc.replace(data, spec=data.spec.pad_vocab(cfg.mesh_model))
         print(f"mesh: data={cfg.mesh_data} model={cfg.mesh_model}")
 
+    # is_increment: warm-start from the saved best checkpoint (reference
+    # config.py:10, run.py:835-840 — there it reloads model+optimizer from
+    # the previous index; here params/state + AREAD masks, fresh optimizer)
+    warm_start = None
+    ckpt_path = os.path.join(cfg.save_path, cfg.dataset_name, f"{cfg.model}_best")
+    if cfg.is_increment and os.path.exists(os.path.join(ckpt_path, "meta.json")):
+        from aread_tpu.train.checkpoint import load_checkpoint
+        warm_start = load_checkpoint(ckpt_path, n_domain=data.n_domain)
+        print(f"warm-start from {ckpt_path} (epoch {warm_start.get('epoch')})")
+
     if is_aread and "wo" not in cfg.model:
         model = build_model(cfg, data.spec, data.n_domain)
         trainer = AREADTrainer(model, cfg, data.n_domain, mesh=mesh)
-        result = trainer.fit(data)
+        result = trainer.fit(data, warm_start=warm_start)
     elif cfg.model == "mamdr":
         # Reptile meta-training (the reference defines MamdrRun but never
         # wires it to main.py — here it is reachable)
         from aread_tpu.train.mamdr import MamdrTrainer
         model = build_model(cfg, data.spec, data.n_domain)
         trainer = MamdrTrainer(model, cfg, data.n_domain, mesh=mesh)
-        result = trainer.fit(data)
+        result = trainer.fit(data, warm_start=warm_start)
     else:
         d2g = None
         try:
@@ -144,7 +157,7 @@ def main():
             pass
         model = build_model(cfg, data.spec, data.n_domain)
         trainer = Trainer(model, cfg, data.n_domain, domain2group=d2g, mesh=mesh)
-        result = trainer.fit(data)
+        result = trainer.fit(data, warm_start=warm_start)
 
     # persist the best model (reference run.py:459-484 saves per
     # improvement; one final save keeps the same restart capability)

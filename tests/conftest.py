@@ -25,6 +25,13 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
+import tempfile
+
+# keep the parsed-tensor cache (data/loader._read_arrays) out of ~/.cache
+# during tests — per-run temp dir unless a test overrides it
+os.environ.setdefault("AREAD_TPU_CACHE",
+                      tempfile.mkdtemp(prefix="aread_tpu_cache_"))
+
 import numpy as np
 import pytest
 

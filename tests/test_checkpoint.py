@@ -76,3 +76,31 @@ def test_checkpoint_resume_continues_training():
     p2, s2, o2, _, loss2 = trainer.train_epoch(p2, s2, o2, batcher,
                                                jax.random.PRNGKey(2))
     assert np.isfinite(loss2) and loss2 < loss1 * 1.5
+
+
+def test_fit_warm_start_adopts_checkpoint_params():
+    """fit(warm_start=ckpt) trains from the checkpointed weights, not a
+    fresh init (the is_increment restart, reference run.py:835-840)."""
+    data = make_synthetic_data(n_rows=256, n_domain=3, vocab=40, seed=2)
+    cfg = Config(bs=128, embed_dim=8, epoch=1, dropout=0.0)
+    model = DeepFM(spec=data.spec, embed_dim=8, mlp_dims=(16,))
+
+    tr1 = Trainer(model, cfg, data.n_domain)
+    r1 = tr1.fit(data, epochs=1, verbose=False)
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ckpt")
+        save_checkpoint(path, r1["params"], r1["state"], opt_state={},
+                        epoch=1)
+        ws = load_checkpoint(path)
+
+        tr2 = Trainer(model, cfg, data.n_domain)
+        r2 = tr2.fit(data, epochs=0, verbose=False, warm_start=ws)
+
+    # epochs=0: no training steps, so the returned params ARE the warm
+    # start — identical to the checkpoint
+    for a, b in zip(jax.tree_util.tree_leaves(r1["params"]),
+                    jax.tree_util.tree_leaves(r2["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and its eval equals the first run's test eval
+    assert abs(r1["test"]["total_auc"] - r2["test"]["total_auc"]) < 1e-9

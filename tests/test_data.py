@@ -149,3 +149,33 @@ def test_cloudtheme_negative_sampling_ratio():
     pos_pairs = set(map(tuple, pos[["userid", "itemid"]].to_numpy()))
     neg_pairs = set(map(tuple, neg[["userid", "itemid"]].to_numpy()))
     assert not (pos_pairs & neg_pairs)
+
+
+def test_read_arrays_cache_roundtrip(tmp_path, monkeypatch):
+    """The parsed-tensor cache (reference caches to *_data_loader.pth,
+    run.py:260-263) returns identical arrays on a warm read and
+    invalidates when the file changes."""
+    import time as _time
+
+    from aread_tpu.data.loader import _read_arrays
+
+    csv = tmp_path / "mini.csv"
+    csv.write_text(
+        "itemid,domain,click,train_tag\n"
+        "0,0,1,0\n1,1,0,1\n2,0,1,2\n3,1,0,0\n")
+    monkeypatch.setenv("AREAD_TPU_CACHE", str(tmp_path / "cache"))
+    args = (str(csv), ["itemid", "domain"], [], "click", "train_tag", 5, -1)
+
+    x1, y1, s1 = _read_arrays(*args)
+    x2, y2, s2 = _read_arrays(*args)  # warm: served from mmap cache
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    assert any((tmp_path / "cache").iterdir())
+
+    _time.sleep(0.01)
+    csv.write_text(
+        "itemid,domain,click,train_tag\n"
+        "5,0,1,0\n6,1,0,1\n7,0,1,2\n8,1,0,0\n")
+    x3, _, _ = _read_arrays(*args)
+    assert int(np.asarray(x3)[:, 0].max()) == 8  # new content, not stale
