@@ -117,6 +117,9 @@ class Config:
     # best checkpoint before training (reference config.py:10,
     # run.py:835-840)
     is_increment: bool = False
+    # JSONL metric sink directory (utils/runlog.py — the working
+    # equivalent of the reference's wandb.log calls); None/empty = off
+    log_dir: str = ""
 
     # TPU-native knobs (new)
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'

@@ -34,10 +34,14 @@ Six full-rate HBM passes, no scatter, no scalar loops. Duplicate flat rows
 (adjacent table rows sharing one flat row) sum correctly through the
 matmul because their lane ranges are disjoint.
 
-W bounds the number of distinct table rows one block can receive from a
-batch; ids are spread over a >300k-flat-row table so per-block counts are
-~Poisson(K/G) (mean ~94 at bs=1024; W=256 is 16 sigma of headroom). The
-fp32 one-hot matmul costs ~0.4 ms at W=256 (scales linearly in W).
+W bounds the number of distinct FLAT rows one block can receive from a
+batch. Large-vocab fields contribute ~Poisson(K/G) per block (mean ~60-90
+at bs=1024), but the SMALL-vocab fields' rows are contiguous in the fused
+table and all land in one block together (~83 always-hit rows for the
+Amazon layout) on top of that block's share of the adjacent large field —
+measured ~136 for Amazon at bs=1024, which is why W=128 overflows every
+step while W=256 never does. The fp32 one-hot matmul costs ~0.4 ms at
+W=256 (scales linearly in W).
 Overflow is detected on-device and the caller falls back to the exact XLA
 path via lax.cond (ops/sparse_adam.py).
 

@@ -579,6 +579,9 @@ class AREADTrainer:
                     None if m is None else [np.asarray(mm, bool) for mm in m]
                     for m in warm_start["domain_mask"]]
 
+        from aread_tpu.utils.runlog import RunLogger
+        logger = RunLogger(cfg.log_dir or None, config=cfg)
+
         history = []
         for epoch_i in range(epochs if epochs is not None else cfg.epoch):
             t0 = time.time()
@@ -590,6 +593,7 @@ class AREADTrainer:
             result["epoch_time_s"] = time.time() - t0
             result["examples_per_s"] = self.step_timer.summary()["examples_per_s"]
             history.append(result)
+            logger.log({"valid": result}, step=epoch_i + 1)
             if verbose:
                 print(f"epoch {epoch_i + 1}: loss={train_loss:.4f} "
                       f"auc={result['total_auc']:.4f} mean_auc={result.get('mean_auc', np.nan):.4f}")
@@ -639,6 +643,11 @@ class AREADTrainer:
 
         test_result = self.evaluate(params, state, test_b, data.domain_cnt_weight,
                                     final=final_gate)
+        logger.log({"test": test_result,
+                    "domain_mask_active": [
+                        None if m is None else [float(np.mean(mm)) for mm in m]
+                        for m in self.mask_state.domain_mask]})
+        logger.close()
         return {"history": history, "test": test_result,
                 "params": params, "state": state,
                 "domain_mask": self.mask_state.domain_mask}

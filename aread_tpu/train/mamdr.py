@@ -85,6 +85,8 @@ class MamdrTrainer(Trainer):
             params = adopt_tree(params, warm_start["params"])
             if warm_start.get("state"):
                 state = adopt_tree(state, warm_start["state"])
+        from aread_tpu.utils.runlog import RunLogger
+        logger = RunLogger(cfg.log_dir or None, config=cfg)
         self.meta_weights = tree_clone(params)
         # Specific (per-domain) weights start at ZERO so merged = shared at
         # t=0. The reference clones the full initial weights into both
@@ -136,6 +138,7 @@ class MamdrTrainer(Trainer):
             result = self.evaluate_merged(state, valid_b, data.domain_cnt_weight)
             result["epoch_time_s"] = time.time() - t0
             history.append(result)
+            logger.log({"valid": result}, step=epoch_i + 1)
             if verbose:
                 print(f"epoch {epoch_i + 1}: auc={result['total_auc']:.4f} "
                       f"mean_auc={result.get('mean_auc', np.nan):.4f}")
@@ -144,7 +147,12 @@ class MamdrTrainer(Trainer):
                 break
 
         test_result = self.evaluate_merged(state, test_b, data.domain_cnt_weight)
+        logger.log({"test": test_result})
+        logger.close()
+        # "params" = the shared meta weights, so main.py's checkpoint save
+        # and is_increment warm-start work for the MAMDR path too
         return {"history": history, "test": test_result,
+                "params": self.meta_weights, "state": state,
                 "meta_weights": self.meta_weights,
                 "domain_weights": self.domain_weights}
 

@@ -533,6 +533,9 @@ class Trainer:
             if warm_start.get("state"):
                 state = adopt_tree(state, warm_start["state"])
 
+        from aread_tpu.utils.runlog import RunLogger
+        logger = RunLogger(cfg.log_dir or None, config=cfg)
+
         history = []
         for epoch_i in range(epochs if epochs is not None else cfg.epoch):
             t0 = time.time()
@@ -544,6 +547,7 @@ class Trainer:
             result["epoch_time_s"] = time.time() - t0
             result["examples_per_s"] = self.step_timer.summary()["examples_per_s"]
             history.append(result)
+            logger.log({"valid": result}, step=epoch_i + 1)
             if verbose:
                 msg = (f"epoch {epoch_i + 1}: train_loss={train_loss:.4f} "
                        f"valid auc={result['total_auc']:.4f} loss={result['total_loss']:.4f}")
@@ -559,5 +563,7 @@ class Trainer:
             state = jax.tree_util.tree_map(jnp.asarray, best_state)
         test_result = self.evaluate(params, state, data.test_x, data.test_y,
                                     data.domain_cnt_weight)
+        logger.log({"test": test_result})
+        logger.close()
         return {"history": history, "test": test_result,
                 "params": params, "state": state}

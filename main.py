@@ -54,6 +54,9 @@ def load_config() -> Config:
     parser.add_argument("--is_increment", action="store_true",
                         help="warm-start from the saved best checkpoint "
                              "(reference config.py:10, run.py:835-840)")
+    parser.add_argument("--log_dir", default="",
+                        help="JSONL metric sink dir (the working equivalent "
+                             "of the reference's wandb.log calls); empty = off")
     parser.add_argument("--mesh_data", type=int, default=1)
     parser.add_argument("--mesh_model", type=int, default=1)
     parser.add_argument("--streaming_eval", action="store_true",
