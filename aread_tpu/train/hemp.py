@@ -111,6 +111,12 @@ class AREADTrainer:
             return loss, (new_state, out["gate_means"])
 
         def step_core(opt, opt_lr, mode, params, state, opt_state, batch, dm, rng):
+            from aread_tpu.train.trainer import matmul_precision_ctx
+            with matmul_precision_ctx(cfg.compute_dtype):
+                return _step_body(opt, opt_lr, mode, params, state, opt_state,
+                                  batch, dm, rng)
+
+        def _step_body(opt, opt_lr, mode, params, state, opt_state, batch, dm, rng):
             if sparse:
                 # grads w.r.t. gathered rows (perturb tap) + 2-phase sparse
                 # Adam — bit-identical to dense, no [n_rows, E] cotangent

@@ -194,6 +194,20 @@ def hybrid_update_sparse(optimizer: optax.GradientTransformation, lr: float,
     return merge_table(new_rest, new_table), new_opt_state
 
 
+def matmul_precision_ctx(compute_dtype: str):
+    """The TPU-idiomatic realization of config.compute_dtype: params and
+    activations stay float32 in memory, but with 'bfloat16' every fp32
+    matmul traced under the context runs as a single bf16 MXU pass
+    (jax.default_matmul_precision) instead of the 3-pass bf16_3x default —
+    the standard speed/accuracy knob for CTR models whose quality is
+    embedding- not precision-bound. 'float32' leaves XLA's default."""
+    import contextlib
+
+    if compute_dtype == "bfloat16":
+        return jax.default_matmul_precision("bfloat16")
+    return contextlib.nullcontext()
+
+
 def adopt_tree(init_tree, loaded_tree):
     """Map checkpoint-loaded (numpy) leaves onto a freshly initialized
     tree, keeping each init leaf's dtype and device/sharding placement
@@ -296,7 +310,13 @@ class Trainer:
         embed_dim = self.model.embed_dim
         sparse = self.config.sparse_table_grad
 
+        compute_dtype = self.config.compute_dtype
+
         def step_core(params, state, opt_state, batch, rng):
+            with matmul_precision_ctx(compute_dtype):
+                return _step_body(params, state, opt_state, batch, rng)
+
+        def _step_body(params, state, opt_state, batch, rng):
             x, y, valid = batch["x"], batch["y"], batch["valid"]
             group = batch.get("group")
 

@@ -224,3 +224,34 @@ def test_trainer_sparse_flat_step_matches_dense():
     td = np.asarray(p_dense["embedding"]["table"])
     assert tf.shape[1] == 128
     np.testing.assert_allclose(tf.reshape(td.shape), td, rtol=0, atol=2e-6)
+
+
+def test_bfloat16_compute_dtype_step_runs():
+    """compute_dtype='bfloat16' (bf16 MXU matmul precision, fp32 storage)
+    trains without error and stays numerically close to fp32 on one step
+    (identical on CPU, where matmul precision is a no-op)."""
+    from aread_tpu.config import Config
+    from aread_tpu.data.loader import make_synthetic_data, GlobalBatcher
+    from aread_tpu.models.deepfm import DeepFM
+    from aread_tpu.train.trainer import Trainer
+
+    data = make_synthetic_data(n_rows=256, n_domain=3, vocab=50, seed=9)
+
+    def one(dtype):
+        model = DeepFM(spec=data.spec, embed_dim=8, mlp_dims=(16,))
+        cfg = Config(model="deepfm", bs=128, embed_dim=8, dropout=0.0,
+                     compute_dtype=dtype)
+        tr = Trainer(model, cfg, data.n_domain)
+        batcher = GlobalBatcher(data.train_x, data.train_y, cfg.bs,
+                                data.spec.domain_idx, tr.domain2group,
+                                seed=cfg.seed)
+        batch = next(iter(batcher))
+        params, state, opt_state = tr.init(jax.random.PRNGKey(0), batch)
+        step = tr._build_train_step()
+        _, _, _, loss = step(params, state, opt_state, tr._place(batch),
+                             jax.random.PRNGKey(1))
+        return float(loss)
+
+    l32 = one("float32")
+    lbf = one("bfloat16")
+    assert abs(l32 - lbf) / max(abs(l32), 1e-6) < 5e-2
