@@ -74,14 +74,14 @@ def load_config() -> Config:
 
 
 def preprocess_csv_path(cfg: Config) -> str:
-    base = os.path.join(cfg.data_path, cfg.dataset_name)
-    if cfg.dataset_name == "amazon":
-        return os.path.join(base, f"prepare2train_filter_{cfg.prepare2train_month}month.csv")
-    if cfg.dataset_name == "aliccp":
-        return os.path.join(base, "thresh15_ndomain30_modeinterval_random.csv")
-    if cfg.dataset_name == "cloudtheme":
-        return os.path.join(base, "kcore3_ndomain30_modeinterval_random_neg4.csv")
-    raise ValueError(cfg.dataset_name)
+    """Build the canonical CSV from raw dumps when missing (the reference
+    runs DataPreprocessing.main on every invocation and skips when the
+    preprocessed CSV exists, preprocess.py:476-478); returns its path."""
+    from aread_tpu.data.pipeline import run_preprocessing
+
+    return run_preprocessing(cfg.dataset_name, cfg.data_path,
+                             prepare2train_month=cfg.prepare2train_month,
+                             seed=cfg.seed)
 
 
 def main():

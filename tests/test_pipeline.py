@@ -1,0 +1,148 @@
+"""File-level preprocessing driver (data/pipeline.py): raw dumps -> the
+canonical CSV, with the reference's skip-when-exists contract
+(preprocess.py:476-478)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from aread_tpu.data.pipeline import (amazon_meta_frame, preprocessed_csv_path,
+                                     run_preprocessing)
+
+
+def test_skip_when_csv_exists(tmp_path):
+    base = tmp_path / "aliccp"
+    base.mkdir()
+    csv = base / "thresh15_ndomain30_modeinterval_random.csv"
+    csv.write_text("itemid,domain\n1,0\n")
+    out = run_preprocessing("aliccp", str(tmp_path), verbose=False)
+    assert out == str(csv)
+    assert csv.read_text().startswith("itemid,domain")  # untouched
+
+
+def test_missing_everything_raises(tmp_path):
+    (tmp_path / "cloudtheme").mkdir()
+    try:
+        run_preprocessing("cloudtheme", str(tmp_path), verbose=False)
+        assert False, "expected FileNotFoundError"
+    except FileNotFoundError as e:
+        assert "theme_click_log" in str(e)
+
+
+def test_cloudtheme_end_to_end(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 1200
+    base = tmp_path / "cloudtheme"
+    base.mkdir()
+    pd.DataFrame({
+        "user_id": rng.integers(0, 30, n),
+        "item_id": rng.integers(0, 30, n),
+        "theme_id": rng.integers(0, 6, n),
+        "leaf_cate_id": rng.integers(0, 10, n),
+        "cate_level1_id": rng.integers(0, 4, n),
+        "reach_time": np.arange(n),
+        "clk_cnt": rng.integers(1, 5, n),
+    }).to_csv(base / "theme_click_log.csv", index=False)
+    out = run_preprocessing("cloudtheme", str(tmp_path), n_domain=4,
+                            k_cores=2, sample_mode="nlargest", verbose=False)
+    df = pd.read_csv(out)
+    assert {"userid", "itemid", "domain", "click", "train_tag"} <= set(df.columns)
+    assert df["domain"].nunique() <= 4
+    # second call: served by the skip path, file untouched
+    mtime = os.path.getmtime(out)
+    assert run_preprocessing("cloudtheme", str(tmp_path), n_domain=4,
+                             k_cores=2, sample_mode="nlargest",
+                             verbose=False) == out
+    assert os.path.getmtime(out) == mtime
+
+
+def _feat(field, feat, val="1"):
+    return f"{field}\x02{feat}\x03{val}"
+
+
+def test_aliccp_end_to_end(tmp_path):
+    base = tmp_path / "aliccp"
+    base.mkdir()
+    common = [f"c{i},1," + _feat("101", f"u{i % 6}") for i in range(8)]
+
+    def skel(n, seed):
+        out = []
+        r = np.random.default_rng(seed)
+        for i in range(n):
+            fields = "\x01".join([
+                _feat("205", f"i{int(r.integers(0, 30))}"),
+                _feat("206", f"d{int(r.integers(0, 5))}"),
+                _feat("508", "f1", f"{r.random():.3f}"),
+            ])
+            out.append(f"{i},{int(r.integers(0, 2))},0,c{int(r.integers(0, 8))},x,{fields}")
+        return out
+
+    (base / "sample_skeleton_train.csv").write_text("\n".join(skel(2500, 1)))
+    (base / "common_features_train.csv").write_text("\n".join(common))
+    (base / "sample_skeleton_test.csv").write_text("\n".join(skel(600, 2)))
+    (base / "common_features_test.csv").write_text("\n".join(common))
+
+    out = run_preprocessing("aliccp", str(tmp_path), thresh=1, n_domain=3,
+                            sample_mode="nlargest", verbose=False)
+    assert out == preprocessed_csv_path("aliccp", str(tmp_path), thresh=1,
+                                        n_domain=3, sample_mode="nlargest")
+    df = pd.read_csv(out)
+    assert {"userid", "itemid", "domain", "click", "train_tag"} <= set(df.columns)
+    assert set(df["train_tag"].unique()) <= {0, 1, 2}
+    assert df["domain"].nunique() <= 3
+
+
+def test_amazon_meta_frame_parses_jsonl(tmp_path):
+    meta = tmp_path / "All_Amazon_Meta.json"
+    rows = [
+        {"asin": "A1", "price": "$12.99", "salesRank": {"Books": 1500},
+         "brand": "Acme", "category": ["Books", "Fiction"]},
+        {"asin": "A2", "price": None, "salesRank": "3,200 in Electronics",
+         "brand": None, "category": ["Electronics"]},
+        {"asin": "SKIPPED", "price": "$1", "salesRank": None, "brand": "x",
+         "category": ["Toys & Games"]},
+    ]
+    meta.write_text("\n".join(json.dumps(r) for r in rows))
+    df = amazon_meta_frame(str(meta), keep_items=["A1", "A2"])
+    assert list(df["itemid"]) == ["A1", "A2"]
+    assert df.loc[0, "salesRank"] == "1,500 in Books"
+    assert df.loc[1, "salesRank"] == "3,200 in Electronics"
+    assert df.loc[0, "category"] == repr(["Books", "Fiction"])
+
+
+def test_amazon_end_to_end(tmp_path):
+    """Tiny raw ratings + jsonl metadata through the full amazon pipeline."""
+    base = tmp_path / "amazon"
+    base.mkdir()
+    rng = np.random.default_rng(3)
+    n_items, n_users, n = 40, 25, 3000
+    # timestamps inside the last-12-month window ending 2018-08-15
+    # (preprocess.py:493-505): 2017-09 .. 2018-08
+    t0, t1 = 1504224000, 1534291200
+    items = [f"I{i}" for i in range(n_items)]
+    recs = pd.DataFrame({
+        "itemid": rng.choice(items, n),
+        "userid": [f"U{int(u)}" for u in rng.integers(0, n_users, n)],
+        "rating": rng.integers(1, 6, n).astype(float),
+        "timestamp": rng.integers(t0, t1, n),
+    })
+    recs.to_csv(base / "all_csv_files.csv", index=False, header=False)
+    domains = ["Books", "Electronics", "Toys & Games", "Video Games"]
+    meta_rows = [{"asin": it, "price": f"${(i % 20) + 1}.99",
+                  "salesRank": {domains[i % 4]: (i + 1) * 37},
+                  "brand": f"B{i % 5}",
+                  "category": [domains[i % 4], "sub"]}
+                 for i, it in enumerate(items)]
+    (base / "All_Amazon_Meta.json").write_text(
+        "\n".join(json.dumps(r) for r in meta_rows))
+
+    out = run_preprocessing("amazon", str(tmp_path), k_cores=2, verbose=False)
+    df = pd.read_csv(out)
+    # amazon's label column is "label" (rating > per-user mean,
+    # preprocess.py:177-179); aliccp/cloudtheme use "click"
+    assert {"itemid", "userid", "domain", "label", "timestamp",
+            "user_pos_6month_seq"} <= set(df.columns)
+    assert len(df) > 0
+    assert df["label"].isin([0, 1]).all()
