@@ -70,8 +70,25 @@ def sparse_table_adam(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
     flat_grads [K, D]; t: 1-based step (scalar int array).
     Returns (w, m, v) in the layout given."""
     n_rows, d = table_shape if table_shape is not None else w.shape
-    is_flat = w.shape != (n_rows, d)
     uids, gsum = dedup_rows(flat_ids, flat_grads, n_rows)
+    return sparse_adam_dispatch(w, m, v, uids, gsum, t, lr=lr, b1=b1, b2=b2,
+                                eps=eps, weight_decay=weight_decay, l2=l2,
+                                table_shape=(n_rows, d))
+
+
+def sparse_adam_dispatch(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
+                         uids: jnp.ndarray, gsum: jnp.ndarray,
+                         t: jnp.ndarray, lr: float, b1: float = 0.9,
+                         b2: float = 0.99, eps: float = 1e-8,
+                         weight_decay: float = 1e-8, l2: float = 0.0,
+                         table_shape: Tuple[int, int] = None
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """sparse_table_adam after dedup: (uids, gsum) are SORTED-unique with
+    sentinel >= n_rows padding. Kernel on TPU when supported, exact XLA
+    two-phase otherwise / on overflow. Also the per-shard body of
+    parallel.sharded_adam (each shard passes its local slice)."""
+    n_rows, d = table_shape if table_shape is not None else w.shape
+    is_flat = w.shape != (n_rows, d)
     kw = dict(lr=lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay, l2=l2)
 
     from aread_tpu.ops.pallas import sparse_adam_kernel as sak

@@ -133,7 +133,8 @@ class AREADTrainer:
                 new_params, new_opt_state = hybrid_update_sparse(
                     opt, opt_lr, cfg.wd, params, g_rest, ids,
                     g_pert["embedding"]["rows"], opt_state,
-                    table_shape=(int(np.sum(spec.one_hot_dims)), embed_dim))
+                    table_shape=(int(np.sum(spec.one_hot_dims)), embed_dim),
+                    mesh=self.mesh)
                 return new_params, dict(new_state), new_opt_state, loss, gms
             (loss, (new_state, gms)), grads = jax.value_and_grad(
                 bagging_loss, has_aux=True)(params, None, state, batch, dm, rng, mode)

@@ -173,21 +173,31 @@ def hybrid_update_sparse(optimizer: optax.GradientTransformation, lr: float,
                          wd: float, params: Dict, g_rest: Dict,
                          table_ids: jnp.ndarray, row_grads: jnp.ndarray,
                          opt_state: Dict, table_l2: float = TABLE_L2,
-                         table_shape: Tuple[int, int] = None
-                         ) -> Tuple[Dict, Dict]:
+                         table_shape: Tuple[int, int] = None,
+                         mesh=None) -> Tuple[Dict, Dict]:
     """hybrid_update with the table's data gradient in sparse (ids, rows)
     form: the dense [n_rows, E] cotangent never exists. Bit-identical to
     the dense path (ops/sparse_adam.py). ``g_rest`` excludes the table.
     ``table_shape``: logical (n_rows, E), required when the table is
-    stored flat (spec.flat_table)."""
+    stored flat (spec.flat_table). With a mesh whose 'model' axis > 1 the
+    update runs per-shard under shard_map (parallel/sharded_adam.py) —
+    left to GSPMD, the Pallas custom call would be replicated."""
     from aread_tpu.ops.sparse_adam import sparse_table_adam
 
     p_table, p_rest = split_table(params)
     t = opt_state["t"] + 1
-    new_table, m, v = sparse_table_adam(
-        p_table, opt_state["m"], opt_state["v"],
-        table_ids.reshape(-1), row_grads.reshape(-1, row_grads.shape[-1]),
-        t, lr=lr, weight_decay=wd, l2=table_l2, table_shape=table_shape)
+    flat_ids = table_ids.reshape(-1)
+    flat_rows = row_grads.reshape(-1, row_grads.shape[-1])
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        from aread_tpu.parallel.sharded_adam import sharded_sparse_table_adam
+        new_table, m, v = sharded_sparse_table_adam(
+            p_table, opt_state["m"], opt_state["v"], flat_ids, flat_rows,
+            t, mesh=mesh, lr=lr, weight_decay=wd, l2=table_l2,
+            table_shape=table_shape)
+    else:
+        new_table, m, v = sparse_table_adam(
+            p_table, opt_state["m"], opt_state["v"], flat_ids, flat_rows,
+            t, lr=lr, weight_decay=wd, l2=table_l2, table_shape=table_shape)
     updates, new_inner = optimizer.update(g_rest, opt_state["inner"], p_rest)
     new_rest = optax.apply_updates(p_rest, updates)
     new_opt_state = {"inner": new_inner, "m": m, "v": v, "t": t}
@@ -309,6 +319,7 @@ class Trainer:
         spec = self.model.spec
         embed_dim = self.model.embed_dim
         sparse = self.config.sparse_table_grad
+        mesh = self.mesh
 
         compute_dtype = self.config.compute_dtype
 
@@ -353,7 +364,8 @@ class Trainer:
                 new_params, new_opt_state = hybrid_update_sparse(
                     optimizer, lr, wd, params, g_rest, ids,
                     g_pert["embedding"]["rows"], opt_state,
-                    table_shape=(int(np.sum(spec.one_hot_dims)), embed_dim))
+                    table_shape=(int(np.sum(spec.one_hot_dims)), embed_dim),
+                    mesh=mesh)
                 return new_params, dict(new_state), new_opt_state, loss
 
             def loss_fn(p):
