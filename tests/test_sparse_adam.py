@@ -255,3 +255,31 @@ def test_bfloat16_compute_dtype_step_runs():
     l32 = one("float32")
     lbf = one("bfloat16")
     assert abs(l32 - lbf) / max(abs(l32), 1e-6) < 5e-2
+
+
+def test_pallas_kernel_bf16x3_split_is_exact():
+    """The kernel's 3-way bf16 gradient split must reassemble fp32 values
+    bit-exactly across magnitudes (the one-hot selection never sums two
+    distinct entries per lane, so dot(hi)+dot(mid)+dot(lo) == value)."""
+    from aread_tpu.ops.pallas.sparse_adam_kernel import sparse_adam_kernel_update
+
+    rng = np.random.default_rng(7)
+    n_rows, D, K = 4096, 32, 64  # one block
+    w = jnp.asarray(rng.normal(size=(n_rows, D)), jnp.float32)
+    m = jnp.zeros((n_rows, D)); v = jnp.zeros((n_rows, D))
+    ids = jnp.asarray(rng.choice(n_rows, K, replace=False), jnp.int32)
+    # gradients spanning 30 orders of magnitude + denormal-adjacent values
+    mags = np.float32(10.0) ** rng.integers(-20, 10, size=(K, D))
+    gv = jnp.asarray(rng.normal(size=(K, D)).astype(np.float32) * mags)
+    t = jnp.asarray(1, jnp.int32)
+    kw = dict(lr=1e-3, b1=0.9, b2=0.99, eps=1e-8, weight_decay=0.0, l2=0.0)
+
+    from aread_tpu.ops.pallas.fused_adam import reference_adam_update
+    dense_g = jnp.zeros((n_rows, D), jnp.float32).at[ids].add(gv)
+    dw, dm, dv = reference_adam_update(w, m, v, dense_g, t, **kw)
+    uids, gsum = dedup_rows(ids, gv, n_rows)
+    sw, sm, sv = sparse_adam_kernel_update(w, m, v, uids, gsum, t,
+                                           interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(sm), np.asarray(dm))
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(dv))
+    np.testing.assert_array_equal(np.asarray(sw), np.asarray(dw))
