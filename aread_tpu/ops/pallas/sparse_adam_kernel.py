@@ -179,14 +179,34 @@ def sparse_adam_kernel_update(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
     is a physical relayout costing several ms at Amazon scale). Caller
     handles the PAD_W overflow fallback (ops/sparse_adam.sparse_table_adam).
     """
+    n_rows, d = table_shape if table_shape is not None else w.shape
+    bounds, fr_pad, gfull, _ = pack_meta(uids, gsum, n_rows, d)
+    return sparse_adam_kernel_premeta(
+        w, m, v, bounds, fr_pad, gfull, t, lr=lr, b1=b1, b2=b2, eps=eps,
+        weight_decay=weight_decay, l2=l2, table_shape=(n_rows, d),
+        interpret=interpret)
+
+
+def sparse_adam_kernel_premeta(w: jnp.ndarray, m: jnp.ndarray,
+                               v: jnp.ndarray, bounds: jnp.ndarray,
+                               fr_pad: jnp.ndarray, gfull: jnp.ndarray,
+                               t: jnp.ndarray, lr: float, b1: float = 0.9,
+                               b2: float = 0.99, eps: float = 1e-8,
+                               weight_decay: float = 1e-8, l2: float = 0.0,
+                               table_shape: Tuple[int, int] = None,
+                               interpret: bool = None
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                          jnp.ndarray]:
+    """Kernel entry with pack_meta's outputs precomputed — lets the caller
+    compute them once and reuse the overflow flag for the fallback cond
+    (ops/sparse_adam.sparse_adam_dispatch)."""
     if interpret is None:
         interpret = default_interpret()
     n_rows, d = table_shape if table_shape is not None else w.shape
     assert supports(n_rows, d), (n_rows, d)
-    K = uids.shape[0]
+    K = gfull.shape[0] - PAD_W
     n_flat = (n_rows * d) // LANES
     grid = -(-n_flat // BLOCK_F)
-    bounds, fr_pad, gfull, _ = pack_meta(uids, gsum, n_rows, d)
 
     tf = t.astype(jnp.float32)
     scalars = jnp.stack([

@@ -46,11 +46,13 @@ def dedup_rows(flat_ids: jnp.ndarray, flat_grads: jnp.ndarray,
     sg = flat_grads[order]
     new_seg = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
     seg = jnp.cumsum(new_seg) - 1  # [K] segment index, 0..U-1
-    gsum = jax.ops.segment_sum(sg, seg, num_segments=K)
-    counts = jax.ops.segment_sum(jnp.ones_like(sid, jnp.int32), seg,
-                                 num_segments=K)
-    uids = jax.ops.segment_max(sid, seg, num_segments=K)
-    uids = jnp.where(counts > 0, uids, n_rows)  # empty segments -> sentinel
+    gsum = jax.ops.segment_sum(sg, seg, num_segments=K,
+                               indices_are_sorted=True)
+    # compacted unique ids: scatter-set sid at its segment slot (seg is
+    # sorted; every segment gets at least one writer, all with the same
+    # sid) — one int32 scatter instead of segment_max + a counts pass
+    uids = jnp.full((K,), n_rows, jnp.int32).at[seg].set(
+        sid.astype(jnp.int32), indices_are_sorted=True)
     return uids, gsum
 
 
@@ -109,34 +111,20 @@ def sparse_adam_dispatch(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
         # one-hot-matmul gradient densification + fused Adam — no XLA
         # scatter (which costs a full table copy per operand). Falls back
         # to the exact XLA path when a block receives more than PAD_W
-        # distinct rows (pathological id clustering).
-        overflow = _check_overflow(uids, n_rows, d)
+        # distinct rows (pathological id clustering). pack_meta runs ONCE
+        # and its overflow flag drives the cond (an earlier version
+        # recomputed the bounds math in a separate check — ~0.6 ms/step).
+        bounds, fr_pad, gfull, overflow = sak.pack_meta(uids, gsum,
+                                                        n_rows, d)
         return jax.lax.cond(
             overflow,
             xla_path,
-            lambda w_, m_, v_: sak.sparse_adam_kernel_update(
-                w_, m_, v_, uids, gsum, t, table_shape=(n_rows, d), **kw),
+            lambda w_, m_, v_: sak.sparse_adam_kernel_premeta(
+                w_, m_, v_, bounds, fr_pad, gfull, t,
+                table_shape=(n_rows, d), **kw),
             w, m, v)
 
     return xla_path(w, m, v)
-
-
-def _check_overflow(uids: jnp.ndarray, n_rows: int, d: int) -> jnp.ndarray:
-    """True iff some kernel block would receive more than PAD_W unique
-    flat rows (duplicates the bounds math of pallas.pack_meta, minus the
-    heavy parts — two searchsorteds over the sorted ids)."""
-    from aread_tpu.ops.pallas import sparse_adam_kernel as sak
-
-    rpf = sak.LANES // d
-    n_flat = (n_rows * d) // sak.LANES
-    grid = -(-n_flat // sak.BLOCK_F)
-    fr = jnp.where(uids < n_rows, uids // rpf, n_flat).astype(jnp.int32)
-    starts = jnp.arange(grid + 1, dtype=jnp.int32) * sak.BLOCK_F
-    bounds = jnp.searchsorted(fr, starts, side="left").astype(jnp.int32)
-    n_live = jnp.searchsorted(fr, jnp.int32(n_flat), side="left").astype(
-        jnp.int32)
-    bounds = jnp.minimum(bounds, n_live)
-    return jnp.any((bounds[1:] - bounds[:-1]) > sak.PAD_W)
 
 
 def _xla_sparse_adam(w, m, v, uids, gsum, t, lr, b1=0.9, b2=0.99, eps=1e-8,
