@@ -35,13 +35,14 @@ Six full-rate HBM passes, no scatter, no scalar loops. Duplicate flat rows
 matmul because their lane ranges are disjoint.
 
 W bounds the number of distinct FLAT rows one block can receive from a
-batch. Large-vocab fields contribute ~Poisson(K/G) per block (mean ~60-90
-at bs=1024), but the SMALL-vocab fields' rows are contiguous in the fused
-table and all land in one block together (~83 always-hit rows for the
-Amazon layout) on top of that block's share of the adjacent large field —
-measured ~136 for Amazon at bs=1024, which is why W=128 overflows every
-step while W=256 never does. The fp32 one-hot matmul costs ~0.4 ms at
-W=256 (scales linearly in W).
+batch. Large-vocab fields contribute ~Poisson(K/G) per block (mean ~175,
+measured max ~243 at bs=1024 / BLOCK_F=4096), but the SMALL-vocab fields'
+rows are contiguous in the fused table and all land in one block together
+(~83 always-hit rows for the Amazon layout) on top of that block's share
+of the adjacent large field — worst observed ~326 at BLOCK_F=4096, hence
+W=384. (BLOCK_F, W) swept on the v5e: (2048,256)=2.75, (4096,384)=2.57,
+(8192,640)=2.56 ms incl. metadata — larger blocks pipeline DMAs better,
+but 8192 doubles VMEM (~100 MB) for ~nothing, and 16384 exceeds VMEM.
 Overflow is detected on-device and the caller falls back to the exact XLA
 path via lax.cond (ops/sparse_adam.py).
 
@@ -62,8 +63,8 @@ from jax.experimental.pallas import tpu as pltpu
 from aread_tpu.ops.pallas.fused_adam import default_interpret
 
 LANES = 128
-BLOCK_F = 2048  # flat rows per grid step (= 8192 table rows at D=32)
-PAD_W = 256     # max distinct touched flat rows per block (see module doc)
+BLOCK_F = 4096  # flat rows per grid step (= 16384 table rows at D=32)
+PAD_W = 384     # max distinct touched flat rows per block (see module doc)
 FR_WIN = 8      # grid steps per fr_pad DMA window
 
 
