@@ -1,0 +1,234 @@
+"""End-to-end AUC parity: PyTorch reference vs aread_tpu on the bundled
+3k-row sample CSVs (reference README.md:60 ships them 'to facilitate
+initial setup and verification').
+
+Both frameworks run their FULL pipeline (load -> split -> train with early
+stopping -> reload best -> test) with identical hyperparameters on the
+same CSVs; per BASELINE.md the success criterion is test AUC parity within
+run-to-run variance (seeds differ stream-for-stream by construction — JAX
+and torch RNGs are incomparable), not bitwise parity.
+
+The reference is imported READ-ONLY: the sample CSVs are staged into a
+/tmp workspace first because the reference writes tensor caches next to
+its input CSV (run.py:262-263) and /root/reference must stay untouched;
+its missing `wandb` dependency (imported at run.py:14, but wandb.init is
+never called so nothing ever recorded) is satisfied with a no-op stub.
+
+Run:  python benchmarks/parity_auc.py [--models deepfm,mmoe,aread]
+          [--datasets aliccp,amazon] [--seeds 2000,2001,2002] [--epoch 10]
+Prints a table and writes benchmarks/parity_auc.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+WS = "/tmp/ref_parity_ws"
+
+SAMPLES = {
+    "amazon": ["prepare2train_filter_12month.csv",
+               "prepare2train_filter_12month_aug0.1.csv"],
+    "aliccp": ["thresh15_ndomain30_modeinterval_random.csv",
+               "thresh15_ndomain30_modeinterval_random_aug0.1.csv"],
+}
+
+WANDB_STUB = '''\
+"""No-op wandb stub: the reference imports wandb (run.py:14) and calls
+wandb.log, but never wandb.init — with the real library that records
+nothing; this stub keeps identical (non-)behavior without the dep."""
+def init(*a, **k): pass
+def log(*a, **k): pass
+'''
+
+REF_DRIVER = '''\
+import os, sys
+sys.path.insert(0, {ws!r})          # wandb stub
+sys.path.insert(0, {ref!r})         # reference code, read-only
+os.chdir({ws!r})                    # save/ + caches land here
+sys.argv = ["main.py"] + {argv!r}
+import random
+import numpy as np
+import torch
+import config
+config.data_path = os.path.join({ws!r}, "data")  # not a CLI flag (config.py)
+from main import load_config
+from preprocess import DataPreprocessing
+from run import Run
+
+args = load_config()
+datapre = DataPreprocessing(args.data_path, dataset_name=args.dataset_name,
+                            domains=[],
+                            prepare2train_month=args.prepare2train_month,
+                            is_aug=("aread" in args.model),
+                            aug_ratio=args.aug_ratio)
+datapre.main()
+datapre.update_config(args)
+Run(args).main()
+'''
+
+
+def stage_workspace():
+    os.makedirs(WS, exist_ok=True)
+    with open(os.path.join(WS, "wandb.py"), "w") as f:
+        f.write(WANDB_STUB)
+    for ds, files in SAMPLES.items():
+        d = os.path.join(WS, "data", ds)
+        os.makedirs(d, exist_ok=True)
+        for fn in files:
+            src = os.path.join(REF, "dataset", ds, fn)
+            dst = os.path.join(d, fn)
+            if os.path.exists(src) and not os.path.exists(dst):
+                shutil.copy(src, dst)
+
+
+def common_argv(model, ds, seed, epoch, fast_aread):
+    argv = ["--model", model, "--dataset_name", ds, "--seed", str(seed),
+            "--epoch", str(epoch), "--bs", "256", "--embed_dim", "16",
+            "--lr", "1e-3"]
+    if model == "aread" and fast_aread:
+        # sample-scale HEMP knobs: the defaults are sized for 17.9M rows
+        argv += ["--warm_up_interval", "1", "--regroup_interval", "4",
+                 "--candidate_mask_num", "3", "--regroup_update_step", "2",
+                 "--regroup_eval_step", "2"]
+    return argv
+
+
+def run_reference(model, ds, seed, epoch, timeout):
+    argv = common_argv(model, ds, seed, epoch, True)
+    # as shipped, domain_filter=None makes read_split_data return
+    # (None, None, None, None) expecting .pth tensor caches that a fresh
+    # checkout doesn't have (run.py:170-173) -> crash; an all-domains
+    # filter is a no-op that takes the data-bearing path
+    n_dom = {"amazon": 25, "aliccp": 30}[ds]
+    argv += ["--domain_filter", "[" + ",".join(map(str, range(n_dom))) + "]"]
+    driver = REF_DRIVER.format(ws=WS, ref=REF, argv=argv)
+    path = os.path.join(WS, "driver.py")
+    with open(path, "w") as f:
+        f.write(driver)
+    # fresh checkpoints per run: the reference picks save indices randomly
+    # (run.py:92) and resumes the 'best' by scanning the folder
+    shutil.rmtree(os.path.join(WS, "save"), ignore_errors=True)
+    out = subprocess.run([sys.executable, path], capture_output=True,
+                         text=True, timeout=timeout)
+    return parse_ref(out.stdout), out
+
+
+def _literal(s):
+    # tolerate nan/inf in printed dicts/lists
+    return ast.literal_eval(re.sub(r"\bnan\b|\binf\b", "None", s))
+
+
+def parse_ref(stdout):
+    """Best validation AUC/loss across epochs, plus test metrics when the
+    run reaches them. On the 3k-row samples mean_auc is NaN (single-class
+    domains) and the reference's `NaN > best` check (run.py:461) never
+    saves a checkpoint, so its final best-model reload crashes — the
+    per-epoch `validation: auc:` prints are the comparable signal."""
+    vals = re.findall(r"^validation: auc: ([\d.]+), loss: ([\d.]+)",
+                      stdout, re.M)
+    out = {}
+    if vals:
+        best = max(float(a) for a, _ in vals)
+        out["val_auc"] = best
+        out["val_loss"] = min(float(l) for _, l in vals)
+    m = re.findall(r"^test: \s*(\[.*\])", stdout, re.M)
+    if m:
+        out.update(dict(_literal(m[-1])))
+    return out or None
+
+
+def run_ours(model, ds, seed, epoch, timeout):
+    argv = common_argv(model, ds, seed, epoch, True) + \
+        ["--data_path", os.path.join(WS, "data"),
+         "--save_path", os.path.join(WS, "save_tpu")]
+    env = dict(os.environ, AREAD_TPU_CACHE="0")
+    out = subprocess.run([sys.executable, os.path.join(REPO, "main.py")]
+                         + argv, capture_output=True, text=True,
+                         timeout=timeout, cwd=REPO, env=env)
+    res = {}
+    vals = re.findall(r"valid auc=([\d.]+) loss=([\d.]+)", out.stdout)
+    if vals:
+        res["val_auc"] = max(float(a) for a, _ in vals)
+        res["val_loss"] = min(float(l) for _, l in vals)
+    m = re.findall(r"^test: (\{.*\})", out.stdout, re.M)
+    if m:
+        res.update(_literal(m[-1]))
+    return res or None, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default="deepfm,mmoe,aread")
+    ap.add_argument("--datasets", default="aliccp,amazon")
+    ap.add_argument("--seeds", default="2000,2001,2002")
+    ap.add_argument("--epoch", type=int, default=10)
+    ap.add_argument("--timeout", type=int, default=1800)
+    ap.add_argument("--skip_reference", action="store_true")
+    args = ap.parse_args()
+
+    stage_workspace()
+    results = []
+    for ds in args.datasets.split(","):
+        for model in args.models.split(","):
+            for seed in [int(s) for s in args.seeds.split(",")]:
+                row = {"dataset": ds, "model": model, "seed": seed}
+                if not args.skip_reference:
+                    try:
+                        ref, rout = run_reference(model, ds, seed,
+                                                  args.epoch, args.timeout)
+                    except subprocess.TimeoutExpired:
+                        ref, rout = None, None
+                    if ref is None:
+                        tail = rout.stderr[-2000:] if rout else "timeout"
+                        print(f"[ref FAILED] {ds}/{model}/{seed}: {tail}",
+                              file=sys.stderr)
+                    row["ref_auc"] = ref and ref.get("val_auc")
+                    row["ref_logloss"] = ref and ref.get("val_loss")
+                    row["ref_test_auc"] = ref and ref.get("total_auc")
+                try:
+                    ours, oout = run_ours(model, ds, seed, args.epoch,
+                                          args.timeout)
+                except subprocess.TimeoutExpired:
+                    ours, oout = None, None
+                if ours is None:
+                    tail = oout.stderr[-2000:] if oout else "timeout"
+                    print(f"[ours FAILED] {ds}/{model}/{seed}: {tail}",
+                          file=sys.stderr)
+                row["tpu_auc"] = ours and ours.get("val_auc")
+                row["tpu_logloss"] = ours and ours.get("val_loss")
+                row["tpu_test_auc"] = ours and ours.get("total_auc")
+                results.append(row)
+                print(json.dumps(row), flush=True)
+
+    with open(os.path.join(REPO, "benchmarks", "parity_auc.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+    # summary: mean +/- std per (dataset, model)
+    import collections
+    import statistics
+    groups = collections.defaultdict(list)
+    for r in results:
+        groups[(r["dataset"], r["model"])].append(r)
+    print(f"\n{'dataset':8s} {'model':8s} {'ref AUC':>16s} {'tpu AUC':>16s}")
+    for (ds, model), rows in groups.items():
+        def ms(key):
+            vals = [r[key] for r in rows if r.get(key) is not None]
+            if not vals:
+                return "--"
+            mu = statistics.mean(vals)
+            sd = statistics.stdev(vals) if len(vals) > 1 else 0.0
+            return f"{mu:.4f}±{sd:.4f}"
+        print(f"{ds:8s} {model:8s} {ms('ref_auc'):>16s} {ms('tpu_auc'):>16s}")
+
+
+if __name__ == "__main__":
+    main()
