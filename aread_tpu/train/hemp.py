@@ -602,8 +602,10 @@ class AREADTrainer:
             history.append(result)
             logger.log({"valid": result}, step=epoch_i + 1)
             if verbose:
-                print(f"epoch {epoch_i + 1}: loss={train_loss:.4f} "
-                      f"auc={result['total_auc']:.4f} mean_auc={result.get('mean_auc', np.nan):.4f}")
+                print(f"epoch {epoch_i + 1}: train_loss={train_loss:.4f} "
+                      f"valid auc={result['total_auc']:.4f} "
+                      f"loss={result['total_loss']:.4f} "
+                      f"mean_auc={result.get('mean_auc', np.nan):.4f}")
             if not self.is_continuable(params, state, result, epoch_i):
                 break
 
@@ -637,8 +639,9 @@ class AREADTrainer:
                 result["phase"] = "final_gate"
                 history.append(result)
                 if verbose:
-                    print(f"final-gate epoch {epoch_i + 1}: loss={floss:.4f} "
-                          f"auc={result['total_auc']:.4f} "
+                    print(f"final-gate epoch {epoch_i + 1}: train_loss={floss:.4f} "
+                          f"valid auc={result['total_auc']:.4f} "
+                          f"loss={result['total_loss']:.4f} "
                           f"mean_auc={result.get('mean_auc', np.nan):.4f}")
                 if not self.is_continuable(params, state, result, epoch_i):
                     break

@@ -57,12 +57,51 @@ os.chdir({ws!r})                    # save/ + caches land here
 sys.argv = ["main.py"] + {argv!r}
 import random
 import numpy as np
+import pandas as pd
 import torch
 import config
 config.data_path = os.path.join({ws!r}, "data")  # not a CLI flag (config.py)
+# reference bug: MMoE/PLE append the raw [B, embed_output_dim] CrossNetwork
+# output to other_outs (mmoe.py:64-66) and tower_forward broadcasts it into
+# [B,1] logits (layer.py:53-54) -> RuntimeError; use_dcn=False is the only
+# runnable configuration for those models (our side runs with --use_dcn 0
+# too). AREAD concatenates cn_out properly (aread.py:175) so it keeps the
+# default.
+if {model!r} in ("mmoe", "ple", "pepnet", "epnet", "epnet-single"):
+    config.use_dcn = False
 from main import load_config
 from preprocess import DataPreprocessing
 from run import Run
+
+
+class RepairedRun(Run):
+    """Minimal environment/bug shims so the reference can run at all; the
+    model code itself is untouched.
+
+    1. run.py:155 does `one_hot_feature_dims[itemid_idx] = itemid_all` on a
+       string-indexed pandas Series; with this image's pandas an int key
+       *appends* a new entry instead of setting positionally, so the
+       embedding gets 8 amazon field dims / 18 offsets vs 17 data columns
+       -> RuntimeError in layer.py:165. Repair restores the intent.
+    2. One-hot dims are inferred from the original CSV only (run.py:154),
+       but HEMP fast-adapt steps feed the *_aug CSV (run.py:634-648) whose
+       downsampled sample rows contain unseen ids -> embedding IndexError.
+       Repair sizes each field over the aug CSV as well.
+    """
+
+    def get_model(self):
+        d = self.one_hot_feature_dims
+        if hasattr(d, "index") and 0 in getattr(d, "index", []):
+            itemid_all = d.pop(0)
+            d.iloc[self.itemid_idx] = itemid_all
+            self.one_hot_feature_dims = d
+        if getattr(self, "is_aug_data", False):
+            aug = pd.read_csv(self.config.preprocess_aug_path,
+                              usecols=list(d.index))
+            self.one_hot_feature_dims = np.maximum(
+                d, aug[list(d.index)].max(axis=0) + 1)
+        return super().get_model()
+
 
 args = load_config()
 datapre = DataPreprocessing(args.data_path, dataset_name=args.dataset_name,
@@ -72,7 +111,7 @@ datapre = DataPreprocessing(args.data_path, dataset_name=args.dataset_name,
                             aug_ratio=args.aug_ratio)
 datapre.main()
 datapre.update_config(args)
-Run(args).main()
+RepairedRun(args).main()
 '''
 
 
@@ -110,7 +149,7 @@ def run_reference(model, ds, seed, epoch, timeout):
     # filter is a no-op that takes the data-bearing path
     n_dom = {"amazon": 25, "aliccp": 30}[ds]
     argv += ["--domain_filter", "[" + ",".join(map(str, range(n_dom))) + "]"]
-    driver = REF_DRIVER.format(ws=WS, ref=REF, argv=argv)
+    driver = REF_DRIVER.format(ws=WS, ref=REF, argv=argv, model=model)
     path = os.path.join(WS, "driver.py")
     with open(path, "w") as f:
         f.write(driver)
@@ -150,6 +189,8 @@ def run_ours(model, ds, seed, epoch, timeout):
     argv = common_argv(model, ds, seed, epoch, True) + \
         ["--data_path", os.path.join(WS, "data"),
          "--save_path", os.path.join(WS, "save_tpu")]
+    if model in ("mmoe", "ple", "pepnet", "epnet", "epnet-single"):
+        argv += ["--use_dcn", "0"]  # match the reference's only runnable cfg
     env = dict(os.environ, AREAD_TPU_CACHE="0")
     out = subprocess.run([sys.executable, os.path.join(REPO, "main.py")]
                          + argv, capture_output=True, text=True,

@@ -59,6 +59,13 @@ def load_config() -> Config:
                              "of the reference's wandb.log calls); empty = off")
     parser.add_argument("--mesh_data", type=int, default=1)
     parser.add_argument("--mesh_model", type=int, default=1)
+    parser.add_argument("--use_dcn", type=int, default=1,
+                        help="side CrossNetwork tower in multi-tower models "
+                             "(reference config.py:35; its default-on path "
+                             "crashes in the reference, layer.py:54)")
+    parser.add_argument("--use_atten", type=int, default=1,
+                        help="side AutoInt attention tower "
+                             "(reference config.py:28)")
     parser.add_argument("--streaming_eval", action="store_true",
                         help="device-resident histogram AUC eval (only "
                              "[n_domain, auc_bins] histograms reach host)")
