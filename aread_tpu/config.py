@@ -117,6 +117,11 @@ class Config:
     # best checkpoint before training (reference config.py:10,
     # run.py:835-840)
     is_increment: bool = False
+    # elastic recovery: write a full resumable checkpoint (params / opt
+    # state / HEMP masks+schedule / RNG key / epoch) on every improvement
+    # — the reference's per-improvement torch.save (run.py:459-484) — and
+    # auto-resume from it when one exists
+    elastic: bool = False
     # JSONL metric sink directory (utils/runlog.py — the working
     # equivalent of the reference's wandb.log calls); None/empty = off
     log_dir: str = ""

@@ -61,7 +61,8 @@ def sparse_table_adam(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
                       t: jnp.ndarray, lr: float, b1: float = 0.9,
                       b2: float = 0.99, eps: float = 1e-8,
                       weight_decay: float = 1e-8, l2: float = 0.0,
-                      table_shape: Tuple[int, int] = None
+                      table_shape: Tuple[int, int] = None,
+                      lazy: bool = False
                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Dense-semantics Adam step from a sparse data gradient.
 
@@ -75,7 +76,7 @@ def sparse_table_adam(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
     uids, gsum = dedup_rows(flat_ids, flat_grads, n_rows)
     return sparse_adam_dispatch(w, m, v, uids, gsum, t, lr=lr, b1=b1, b2=b2,
                                 eps=eps, weight_decay=weight_decay, l2=l2,
-                                table_shape=(n_rows, d))
+                                table_shape=(n_rows, d), lazy=lazy)
 
 
 def sparse_adam_dispatch(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
@@ -83,15 +84,27 @@ def sparse_adam_dispatch(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
                          t: jnp.ndarray, lr: float, b1: float = 0.9,
                          b2: float = 0.99, eps: float = 1e-8,
                          weight_decay: float = 1e-8, l2: float = 0.0,
-                         table_shape: Tuple[int, int] = None
+                         table_shape: Tuple[int, int] = None,
+                         lazy: bool = False
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """sparse_table_adam after dedup: (uids, gsum) are SORTED-unique with
     sentinel >= n_rows padding. Kernel on TPU when supported, exact XLA
     two-phase otherwise / on overflow. Also the per-shard body of
-    parallel.sharded_adam (each shard passes its local slice)."""
+    parallel.sharded_adam (each shard passes its local slice).
+
+    ``lazy=True`` switches to torch.optim.SparseAdam semantics: ONLY the
+    rows gathered this step are updated (moments of untouched rows do not
+    decay, untouched weights are bit-unchanged). That removes the dense
+    decay sweep — the only part of the exact-dense update whose cost is
+    O(table) instead of O(batch rows) — at the price of a documented,
+    deliberate semantic deviation from the reference's dense Adam."""
     n_rows, d = table_shape if table_shape is not None else w.shape
     is_flat = w.shape != (n_rows, d)
     kw = dict(lr=lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay, l2=l2)
+
+    if lazy:
+        return _lazy_sparse_adam(w, m, v, uids, gsum, t,
+                                 table_shape=(n_rows, d), **kw)
 
     from aread_tpu.ops.pallas import sparse_adam_kernel as sak
 

@@ -76,10 +76,29 @@ def save_checkpoint(path: str, params, state, opt_state,
         json.dump(meta, f)
 
 
-def load_checkpoint(path: str, n_domain: Optional[int] = None) -> Dict:
+def mask_template(n_tower, n_domain: int) -> Dict[str, np.ndarray]:
+    """Flat domain-mask pytree template (all domains, all levels) for
+    structure-exact orbax restore."""
+    from aread_tpu.utils.masks import mask_shapes
+    shapes = mask_shapes(n_tower)
+    return {f"d{d}_l{li}": np.zeros(s, bool)
+            for d in range(n_domain) for li, s in enumerate(shapes)}
+
+
+def load_checkpoint(path: str, n_domain: Optional[int] = None,
+                    template: Optional[Dict] = None) -> Dict:
+    """``template``: optional pytree with the exact saved structure (e.g.
+    {"params": ..., "opt_state": ...}); orbax then restores tuples /
+    NamedTuples (optimizer states) natively instead of as nested dicts —
+    required when resuming mid-training with an optimizer state."""
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    tree = ckptr.restore(os.path.join(path, "arrays"))
+    arrays_dir = os.path.join(path, "arrays")
+    if template is not None:
+        tree = ckptr.restore(arrays_dir, item=jax.tree_util.tree_map(
+            np.asarray, template))
+    else:
+        tree = ckptr.restore(arrays_dir)
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     out = dict(meta)

@@ -19,6 +19,7 @@ Host/device split (the reference mutates module state mid-step; here):
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -67,6 +68,7 @@ class AREADTrainer:
         self.trial_counter = 0
         self.best_auc, self.best_mean_auc = 0.0, 0.0
         self.best_checkpoint = None
+        self._improved = False
         self._fns = None
         self.step_timer = profiling.StepTimer()
 
@@ -533,6 +535,7 @@ class AREADTrainer:
         key = "mean_auc" if "mean_auc" in result and not np.isnan(result["mean_auc"]) \
             else "total_auc"
         best = self.best_mean_auc if key == "mean_auc" else self.best_auc
+        self._improved = result[key] > best
         if result[key] > best:
             self.trial_counter = 0
             self.best_auc = result["total_auc"]
@@ -551,10 +554,17 @@ class AREADTrainer:
 
     def fit(self, data: SplitData, rng=None, epochs: Optional[int] = None,
             verbose: bool = True, final_gate: Optional[bool] = None,
-            warm_start: Optional[Dict] = None) -> Dict:
+            warm_start: Optional[Dict] = None,
+            ckpt_dir: Optional[str] = None) -> Dict:
         """``warm_start``: checkpoint dict (train.checkpoint.load_checkpoint)
         providing params/state and optionally the per-domain HEMP masks —
-        the reference's is_increment restart (run.py:835-840)."""
+        the reference's is_increment restart (run.py:835-840).
+
+        ``ckpt_dir``: elastic recovery. On every improvement a full
+        resumable checkpoint is written (params / state / optimizer /
+        domain masks / HEMP sigma-active%-candidate schedule / RNG key /
+        epoch / best metrics); an existing one resumes training at the
+        saved epoch with the evolved masks and decayed schedule intact."""
         cfg = self.config
         final_gate = cfg.aread_final if final_gate is None else final_gate
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
@@ -586,11 +596,47 @@ class AREADTrainer:
                     None if m is None else [np.asarray(mm, bool) for mm in m]
                     for m in warm_start["domain_mask"]]
 
+        start_epoch = 0
+        if ckpt_dir and os.path.exists(os.path.join(ckpt_dir, "meta.json")):
+            from aread_tpu.train.checkpoint import load_checkpoint, mask_template
+            from aread_tpu.train.trainer import adopt_tree
+            ck = load_checkpoint(ckpt_dir, n_domain=self.n_domain, template={
+                "params": params, "state": state, "opt_state": opt_state,
+                "rng_key": np.asarray(rng),
+                "domain_mask": mask_template(self.model.n_tower, self.n_domain)})
+            params = adopt_tree(params, ck["params"])
+            state = adopt_tree(state, ck["state"])
+            opt_state = adopt_tree(opt_state, ck["opt_state"])
+            rng = jnp.asarray(np.asarray(ck["rng_key"]))
+            self.mask_state.domain_mask = [
+                None if m is None else [np.asarray(mm, bool) for mm in m]
+                for m in ck["domain_mask"]]
+            start_epoch = int(ck["epoch"])
+            sched = ck.get("hemp_schedule") or {}
+            self.random_modify_sigma = sched.get(
+                "random_modify_sigma", self.random_modify_sigma)
+            self.init_active_percent = sched.get(
+                "init_active_percent", self.init_active_percent)
+            self.candidate_mask_num = sched.get(
+                "candidate_mask_num", self.candidate_mask_num)
+            self.regroup_times = int(sched.get("regroup_times", 0))
+            best = ck.get("best_result") or {}
+            self.best_auc = best.get("total_auc") or 0.0
+            self.best_mean_auc = best.get("mean_auc") or 0.0
+            self.best_checkpoint = (
+                self._snapshot(params, state),
+                [[mm.copy() for mm in m] for m in self.mask_state.domain_mask],
+                start_epoch - 1)
+            if verbose:
+                print(f"elastic resume from {ckpt_dir} at epoch {start_epoch} "
+                      f"(regroups so far: {self.regroup_times})")
+
         from aread_tpu.utils.runlog import RunLogger
         logger = RunLogger(cfg.log_dir or None, config=cfg)
 
         history = []
-        for epoch_i in range(epochs if epochs is not None else cfg.epoch):
+        for epoch_i in range(start_epoch,
+                             epochs if epochs is not None else cfg.epoch):
             t0 = time.time()
             params, state, opt_state, rng, train_loss = self.train_epoch(
                 params, state, opt_state, epoch_i, train_b, aug_b, rng, verbose)
@@ -606,7 +652,20 @@ class AREADTrainer:
                       f"valid auc={result['total_auc']:.4f} "
                       f"loss={result['total_loss']:.4f} "
                       f"mean_auc={result.get('mean_auc', np.nan):.4f}")
-            if not self.is_continuable(params, state, result, epoch_i):
+            cont = self.is_continuable(params, state, result, epoch_i)
+            if ckpt_dir and self._improved:
+                from aread_tpu.train.checkpoint import save_checkpoint
+                assert all(m is not None for m in self.mask_state.domain_mask)
+                save_checkpoint(
+                    ckpt_dir, params, state, opt_state, epoch=epoch_i + 1,
+                    best_result=result, rng_key=np.asarray(rng),
+                    domain_mask=self.mask_state.domain_mask,
+                    hemp_schedule={
+                        "random_modify_sigma": self.random_modify_sigma,
+                        "init_active_percent": self.init_active_percent,
+                        "candidate_mask_num": self.candidate_mask_num,
+                        "regroup_times": self.regroup_times})
+            if not cont:
                 break
 
         if self.best_checkpoint is not None:

@@ -17,6 +17,7 @@ reference's BCELoss on probabilities, but stable and fusable).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
@@ -257,6 +258,7 @@ class Trainer:
         self.best_auc, self.best_mean_auc = 0.0, 0.0
         self.best_loss, self.best_mean_loss = np.inf, np.inf
         self.best_checkpoint = None
+        self._improved = False
         self.step_timer = profiling.StepTimer()
 
     # ---------------------------------------------------------------- init
@@ -526,6 +528,7 @@ class Trainer:
         key = "mean_auc" if "mean_auc" in result and not np.isnan(result["mean_auc"]) \
             else "total_auc"
         best = self.best_mean_auc if key == "mean_auc" else self.best_auc
+        self._improved = result[key] > best
         if result[key] > best:
             self.trial_counter = 0
             self.best_auc = result["total_auc"]
@@ -547,11 +550,20 @@ class Trainer:
         return False
 
     def fit(self, data: SplitData, rng=None, epochs: Optional[int] = None,
-            verbose: bool = True, warm_start: Optional[Dict] = None) -> Dict:
+            verbose: bool = True, warm_start: Optional[Dict] = None,
+            ckpt_dir: Optional[str] = None) -> Dict:
         """``warm_start``: a checkpoint dict (train.checkpoint.
         load_checkpoint) whose params/state replace the fresh init — the
         reference's is_increment restart (run.py:835-840; the optimizer
-        starts fresh, matching a new Adam over loaded weights)."""
+        starts fresh, matching a new Adam over loaded weights).
+
+        ``ckpt_dir``: elastic-recovery directory. A full resumable
+        checkpoint (params / BN state / optimizer state / RNG key / epoch /
+        best metrics) is written there on every improvement — the
+        reference's per-improvement torch.save (run.py:459-484) — and, when
+        one already exists, training RESUMES from it at the saved epoch
+        instead of starting over (batch shuffling restarts from the epoch
+        boundary; step-exact replay within an epoch is not attempted)."""
         cfg = self.config
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
         d2g = self.domain2group
@@ -565,11 +577,34 @@ class Trainer:
             if warm_start.get("state"):
                 state = adopt_tree(state, warm_start["state"])
 
+        start_epoch = 0
+        if ckpt_dir and os.path.exists(os.path.join(ckpt_dir, "meta.json")):
+            from aread_tpu.train.checkpoint import load_checkpoint
+            ck = load_checkpoint(ckpt_dir, template={
+                "params": params, "state": state, "opt_state": opt_state,
+                "rng_key": np.asarray(rng)})
+            params = adopt_tree(params, ck["params"])
+            state = adopt_tree(state, ck["state"])
+            opt_state = adopt_tree(opt_state, ck["opt_state"])
+            rng = jnp.asarray(np.asarray(ck["rng_key"]))
+            start_epoch = int(ck["epoch"])
+            best = ck.get("best_result") or {}
+            self.best_auc = best.get("total_auc") or 0.0
+            self.best_loss = best.get("total_loss") or np.inf
+            self.best_mean_auc = best.get("mean_auc") or 0.0
+            self.best_mean_loss = best.get("mean_loss") or np.inf
+            self.best_checkpoint = (
+                jax.tree_util.tree_map(jnp.array, params),
+                jax.tree_util.tree_map(jnp.array, state), start_epoch - 1)
+            if verbose:
+                print(f"elastic resume from {ckpt_dir} at epoch {start_epoch}")
+
         from aread_tpu.utils.runlog import RunLogger
         logger = RunLogger(cfg.log_dir or None, config=cfg)
 
         history = []
-        for epoch_i in range(epochs if epochs is not None else cfg.epoch):
+        for epoch_i in range(start_epoch,
+                             epochs if epochs is not None else cfg.epoch):
             t0 = time.time()
             params, state, opt_state, rng, train_loss = self.train_epoch(
                 params, state, opt_state, batcher, rng)
@@ -586,7 +621,13 @@ class Trainer:
                 if "mean_auc" in result:
                     msg += f" mean_auc={result['mean_auc']:.4f}"
                 print(msg)
-            if not self.is_continuable(params, state, opt_state, result, epoch_i):
+            cont = self.is_continuable(params, state, opt_state, result, epoch_i)
+            if ckpt_dir and self._improved:
+                from aread_tpu.train.checkpoint import save_checkpoint
+                save_checkpoint(ckpt_dir, params, state, opt_state,
+                                epoch=epoch_i + 1, best_result=result,
+                                rng_key=np.asarray(rng))
+            if not cont:
                 break
 
         if self.best_checkpoint is not None:

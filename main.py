@@ -54,6 +54,13 @@ def load_config() -> Config:
     parser.add_argument("--is_increment", action="store_true",
                         help="warm-start from the saved best checkpoint "
                              "(reference config.py:10, run.py:835-840)")
+    parser.add_argument("--elastic", action="store_true",
+                        help="crash-safe training: save a full resumable "
+                             "checkpoint (params/opt state/HEMP masks+"
+                             "schedule/RNG/epoch) on every improvement and "
+                             "auto-resume from it if present (the "
+                             "reference's per-improvement torch.save, "
+                             "run.py:459-484, plus recovery)")
     parser.add_argument("--log_dir", default="",
                         help="JSONL metric sink dir (the working equivalent "
                              "of the reference's wandb.log calls); empty = off")
@@ -148,10 +155,13 @@ def main():
         warm_start = load_checkpoint(ckpt_path, n_domain=data.n_domain)
         print(f"warm-start from {ckpt_path} (epoch {warm_start.get('epoch')})")
 
+    elastic_dir = (os.path.join(cfg.save_path, cfg.dataset_name,
+                                f"{cfg.model}_elastic")
+                   if cfg.elastic else None)
     if is_aread and "wo" not in cfg.model:
         model = build_model(cfg, data.spec, data.n_domain)
         trainer = AREADTrainer(model, cfg, data.n_domain, mesh=mesh)
-        result = trainer.fit(data, warm_start=warm_start)
+        result = trainer.fit(data, warm_start=warm_start, ckpt_dir=elastic_dir)
     elif cfg.model == "mamdr":
         # Reptile meta-training (the reference defines MamdrRun but never
         # wires it to main.py — here it is reachable)
@@ -167,7 +177,7 @@ def main():
             pass
         model = build_model(cfg, data.spec, data.n_domain)
         trainer = Trainer(model, cfg, data.n_domain, domain2group=d2g, mesh=mesh)
-        result = trainer.fit(data, warm_start=warm_start)
+        result = trainer.fit(data, warm_start=warm_start, ckpt_dir=elastic_dir)
 
     # persist the best model (reference run.py:459-484 saves per
     # improvement; one final save keeps the same restart capability)
