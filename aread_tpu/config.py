@@ -128,6 +128,12 @@ class Config:
 
     # TPU-native knobs (new)
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # 'adam': bit-exact reference dense-Adam semantics (every table row's
+    # moments decay each step; ops/sparse_adam two-phase + Pallas kernel).
+    # 'lazy_adam': torch.optim.SparseAdam / TF lazy-Adam semantics — only
+    # the rows gathered this step update, O(batch) instead of O(table)
+    # optimizer traffic; a documented deviation from the reference.
+    table_optimizer: str = "adam"
     mesh_data: int = 1  # data-parallel axis size
     mesh_model: int = 1  # model-parallel (embedding row-shard) axis size
     sparse_table_grad: bool = True  # sparse embedding-table gradients:

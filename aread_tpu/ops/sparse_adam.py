@@ -140,6 +140,81 @@ def sparse_adam_dispatch(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
     return xla_path(w, m, v)
 
 
+def _lazy_sparse_adam(w, m, v, uids, gsum, t, lr, b1=0.9, b2=0.99, eps=1e-8,
+                      weight_decay=1e-8, l2=0.0, table_shape=None):
+    """torch.optim.SparseAdam-semantics update: only the gathered rows'
+    weights and moments change; bias correction uses the global step.
+    Unlike torch's SparseAdam (which rejects weight_decay), the decay/L2
+    term is applied to the TOUCHED rows' gradients — 'lazy regularization'
+    as in TF's lazy Adam embeddings.
+
+    Operates natively on the lane-packed flat [n_rows*D/128, 128] storage
+    when 128 % D == 0: row r owns lanes [(r%R)*D, (r%R+1)*D) of flat row
+    r//R (R = 128//D). Touched rows are positioned into 128-lane segments
+    with a one-hot matmul, second-level deduped by flat row, and a lane
+    mask confines the Adam update to owned lanes — untouched rows sharing
+    a flat row are bit-unchanged. Total traffic is O(touched rows), not
+    O(table): the whole point of lazy mode."""
+    n_rows, d = table_shape if table_shape is not None else w.shape
+    is_flat = w.shape != (n_rows, d)
+    decay = weight_decay + 2.0 * l2
+    tf_ = t.astype(jnp.float32)
+    b1c = 1.0 - jnp.asarray(b1, jnp.float32) ** tf_
+    b2c = 1.0 - jnp.asarray(b2, jnp.float32) ** tf_
+
+    def adam(w_, m_, v_, g_, mask):
+        g_ = g_ + decay * w_ * mask
+        m2 = jnp.where(mask > 0, b1 * m_ + (1.0 - b1) * g_, m_)
+        v2 = jnp.where(mask > 0, b2 * v_ + (1.0 - b2) * g_ * g_, v_)
+        w2 = jnp.where(mask > 0,
+                       w_ - lr * (m2 / b1c) / (jnp.sqrt(v2 / b2c) + eps), w_)
+        return w2, m2, v2
+
+    if not is_flat:
+        mask = (uids < n_rows).astype(w.dtype)[:, None]
+        gid = jnp.minimum(uids, n_rows - 1)
+        nw, nm, nv = adam(w[gid], m[gid], v[gid], gsum, mask)
+        return (w.at[uids].set(nw, mode="drop"),
+                m.at[uids].set(nm, mode="drop"),
+                v.at[uids].set(nv, mode="drop"))
+
+    if 128 % d != 0:
+        # unsupported packing ratio: pay the relayout, keep correctness
+        w2, m2, v2 = _lazy_sparse_adam(
+            w.reshape(n_rows, d), m.reshape(n_rows, d), v.reshape(n_rows, d),
+            uids, gsum, t, lr, b1, b2, eps, weight_decay, l2)
+        return tuple(a.reshape(w.shape) for a in (w2, m2, v2))
+
+    R = 128 // d
+    n_flat = w.shape[0]
+    K = uids.shape[0]
+    # lane placement: P[r] scatters a D-vector into lanes [r*D, (r+1)*D)
+    P = jnp.zeros((R, d, 128), w.dtype)
+    P = P.at[jnp.arange(R)[:, None], jnp.arange(d)[None, :],
+             (jnp.arange(R)[:, None] * d + jnp.arange(d)[None, :])].set(1.0)
+    off = jnp.minimum(uids, n_rows - 1) % R
+    g128 = jnp.einsum("kd,kdl->kl", gsum, P[off])          # [K, 128]
+    lane = jnp.where((uids < n_rows)[:, None],
+                     P[off].sum(axis=1), 0.0)              # [K, 128] owned
+    # second-level dedup: distinct table rows can share a flat row
+    fid = jnp.where(uids < n_rows, uids // R, n_flat).astype(jnp.int32)
+    order = jnp.argsort(fid)
+    sfid = fid[order]
+    new_seg = jnp.concatenate([jnp.ones((1,), bool), sfid[1:] != sfid[:-1]])
+    seg = jnp.cumsum(new_seg) - 1
+    gseg = jax.ops.segment_sum(g128[order], seg, num_segments=K,
+                               indices_are_sorted=True)
+    lseg = jax.ops.segment_sum(lane[order], seg, num_segments=K,
+                               indices_are_sorted=True)   # 0/1: rows unique
+    ufid = jnp.full((K,), n_flat, jnp.int32).at[seg].set(
+        sfid, indices_are_sorted=True)
+    gid = jnp.minimum(ufid, n_flat - 1)
+    nw, nm, nv = adam(w[gid], m[gid], v[gid], gseg, lseg)
+    return (w.at[ufid].set(nw, mode="drop"),
+            m.at[ufid].set(nm, mode="drop"),
+            v.at[ufid].set(nv, mode="drop"))
+
+
 def _xla_sparse_adam(w, m, v, uids, gsum, t, lr, b1=0.9, b2=0.99, eps=1e-8,
                      weight_decay=1e-8, l2=0.0):
     """Exact pure-XLA two-phase update (scatter-based; ground truth and

@@ -42,7 +42,7 @@ def sharded_sparse_table_adam(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
                               eps: float = 1e-8, weight_decay: float = 1e-8,
                               l2: float = 0.0,
                               table_shape: Tuple[int, int] = None,
-                              axis: str = "model"
+                              axis: str = "model", lazy: bool = False
                               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Dense-semantics Adam on a row-sharded table (P(axis, None)).
 
@@ -56,13 +56,14 @@ def sharded_sparse_table_adam(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
         return sparse_table_adam(w, m, v, flat_ids, flat_grads, t, lr=lr,
                                  b1=b1, b2=b2, eps=eps,
                                  weight_decay=weight_decay, l2=l2,
-                                 table_shape=(n_rows, d))
+                                 table_shape=(n_rows, d), lazy=lazy)
     assert w.shape[0] % mp == 0, (w.shape, mp)
     rows_per_shard = (n_rows * d // 128 if w.shape != (n_rows, d)
                       else n_rows) // mp
     # table rows owned per shard (flat shards own rpf table rows per flat row)
     tab_rows_per_shard = n_rows // mp
-    kw = dict(lr=lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay, l2=l2)
+    kw = dict(lr=lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay, l2=l2,
+              lazy=lazy)
 
     uids, gsum = dedup_rows(flat_ids.reshape(-1),
                             flat_grads.reshape(-1, d), n_rows)

@@ -136,7 +136,8 @@ class AREADTrainer:
                     opt, opt_lr, cfg.wd, params, g_rest, ids,
                     g_pert["embedding"]["rows"], opt_state,
                     table_shape=(int(np.sum(spec.one_hot_dims)), embed_dim),
-                    mesh=self.mesh)
+                    mesh=self.mesh,
+                    lazy=cfg.table_optimizer == "lazy_adam")
                 return new_params, dict(new_state), new_opt_state, loss, gms
             (loss, (new_state, gms)), grads = jax.value_and_grad(
                 bagging_loss, has_aux=True)(params, None, state, batch, dm, rng, mode)

@@ -175,7 +175,7 @@ def hybrid_update_sparse(optimizer: optax.GradientTransformation, lr: float,
                          table_ids: jnp.ndarray, row_grads: jnp.ndarray,
                          opt_state: Dict, table_l2: float = TABLE_L2,
                          table_shape: Tuple[int, int] = None,
-                         mesh=None) -> Tuple[Dict, Dict]:
+                         mesh=None, lazy: bool = False) -> Tuple[Dict, Dict]:
     """hybrid_update with the table's data gradient in sparse (ids, rows)
     form: the dense [n_rows, E] cotangent never exists. Bit-identical to
     the dense path (ops/sparse_adam.py). ``g_rest`` excludes the table.
@@ -194,11 +194,12 @@ def hybrid_update_sparse(optimizer: optax.GradientTransformation, lr: float,
         new_table, m, v = sharded_sparse_table_adam(
             p_table, opt_state["m"], opt_state["v"], flat_ids, flat_rows,
             t, mesh=mesh, lr=lr, weight_decay=wd, l2=table_l2,
-            table_shape=table_shape)
+            table_shape=table_shape, lazy=lazy)
     else:
         new_table, m, v = sparse_table_adam(
             p_table, opt_state["m"], opt_state["v"], flat_ids, flat_rows,
-            t, lr=lr, weight_decay=wd, l2=table_l2, table_shape=table_shape)
+            t, lr=lr, weight_decay=wd, l2=table_l2, table_shape=table_shape,
+            lazy=lazy)
     updates, new_inner = optimizer.update(g_rest, opt_state["inner"], p_rest)
     new_rest = optax.apply_updates(p_rest, updates)
     new_opt_state = {"inner": new_inner, "m": m, "v": v, "t": t}
@@ -367,7 +368,8 @@ class Trainer:
                     optimizer, lr, wd, params, g_rest, ids,
                     g_pert["embedding"]["rows"], opt_state,
                     table_shape=(int(np.sum(spec.one_hot_dims)), embed_dim),
-                    mesh=mesh)
+                    mesh=mesh,
+                    lazy=self.config.table_optimizer == "lazy_adam")
                 return new_params, dict(new_state), new_opt_state, loss
 
             def loss_fn(p):

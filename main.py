@@ -66,6 +66,12 @@ def load_config() -> Config:
                              "of the reference's wandb.log calls); empty = off")
     parser.add_argument("--mesh_data", type=int, default=1)
     parser.add_argument("--mesh_model", type=int, default=1)
+    parser.add_argument("--table_optimizer", default="adam",
+                        choices=["adam", "lazy_adam"],
+                        help="'adam' = reference dense-Adam semantics "
+                             "(exact); 'lazy_adam' = torch SparseAdam "
+                             "semantics, only touched rows update "
+                             "(O(batch) optimizer traffic)")
     parser.add_argument("--use_dcn", type=int, default=1,
                         help="side CrossNetwork tower in multi-tower models "
                              "(reference config.py:35; its default-on path "
