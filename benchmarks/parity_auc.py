@@ -87,7 +87,24 @@ class RepairedRun(Run):
        but HEMP fast-adapt steps feed the *_aug CSV (run.py:634-648) whose
        downsampled sample rows contain unseen ids -> embedding IndexError.
        Repair sizes each field over the aug CSV as well.
+    3. The bundled amazon aug sample is a row subset: some domains end up
+       with ZERO augmented train rows, and the per-domain DataLoader
+       construction (run.py:310-353) raises num_samples=0. Repair backfills
+       an empty domain's aug split with its original train rows (i.e. 'no
+       augmentation for this domain').
     """
+
+    def read_split_data(self, path, aug_path, history=True, only_id=False):
+        cols, (tr, va, te, aug) = super().read_split_data(
+            path, aug_path, history=history, only_id=only_id)
+        if self.is_aug_data and tr is not None and aug is not None \
+                and len(aug):
+            missing = set(tr["domain"].unique()) - set(aug["domain"].unique())
+            if missing:
+                aug = pd.concat(
+                    [aug] + [tr[tr["domain"] == d] for d in sorted(missing)],
+                    ignore_index=True)
+        return cols, (tr, va, te, aug)
 
     def get_model(self):
         d = self.one_hot_feature_dims

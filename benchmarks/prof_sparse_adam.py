@@ -1,4 +1,6 @@
 """Isolate sparse-Adam optimizer cost components on the real chip."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 from functools import partial
 import numpy as np

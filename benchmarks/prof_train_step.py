@@ -1,4 +1,6 @@
 """Profile breakdown of the bench step: fp32 vs bf16, fwd / fwd+bwd / full."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json, time
 from functools import partial
 import numpy as np
