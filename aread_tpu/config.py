@@ -134,6 +134,11 @@ class Config:
     # the rows gathered this step update, O(batch) instead of O(table)
     # optimizer traffic; a documented deviation from the reference.
     table_optimizer: str = "adam"
+    # storage dtype of the table Adam moments (m, v). 'bfloat16' halves
+    # their share of the per-step table sweep (24 -> 16 bytes/element-pass;
+    # compute stays fp32). A documented deviation: moments round to bf16
+    # at every step.
+    table_moments_dtype: str = "float32"  # 'float32' | 'bfloat16'
     mesh_data: int = 1  # data-parallel axis size
     mesh_model: int = 1  # model-parallel (embedding row-shard) axis size
     sparse_table_grad: bool = True  # sparse embedding-table gradients:

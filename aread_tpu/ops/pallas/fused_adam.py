@@ -116,11 +116,15 @@ def fused_adam_update(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
 
 def reference_adam_update(w, m, v, g, t, lr, b1=0.9, b2=0.99, eps=1e-8,
                           weight_decay=1e-8, l2=0.0):
-    """Pure-jnp ground truth for tests."""
+    """Pure-jnp ground truth for tests. Moments may be stored bf16
+    (config.table_moments_dtype): compute is f32, storage dtype preserved
+    (no-op astypes for f32 keep the f32 path bitwise unchanged)."""
+    in_m, in_v = m.dtype, v.dtype
     tf = t.astype(jnp.float32)
     g = g + (weight_decay + 2.0 * l2) * w
-    m = b1 * m + (1 - b1) * g
-    v = b2 * v + (1 - b2) * g * g
+    m = b1 * m.astype(jnp.float32) + (1 - b1) * g
+    v = b2 * v.astype(jnp.float32) + (1 - b2) * g * g
     mhat = m / (1 - b1 ** tf)
     vhat = v / (1 - b2 ** tf)
-    return w - lr * mhat / (jnp.sqrt(vhat) + eps), m, v
+    return (w - lr * mhat / (jnp.sqrt(vhat) + eps),
+            m.astype(in_m), v.astype(in_v))

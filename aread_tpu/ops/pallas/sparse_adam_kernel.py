@@ -113,11 +113,14 @@ def _kernel(bounds_ref, scal_ref, w_ref, m_ref, v_ref, fr_ref, gfull_ref,
     omb1, omb2 = scal_ref[7], scal_ref[8]
     w = w_ref[:]
     g = gfix + decay * w
-    m2 = b1 * m_ref[:] + omb1 * g
-    v2 = b2 * v_ref[:] + omb2 * g * g
+    # moments may be stored bf16 (config.table_moments_dtype); compute in
+    # f32 either way — for f32 storage the astypes are no-ops and the
+    # update stays bit-exact torch Adam
+    m2 = b1 * m_ref[:].astype(jnp.float32) + omb1 * g
+    v2 = b2 * v_ref[:].astype(jnp.float32) + omb2 * g * g
     ow_ref[:] = w - lr * (m2 / b1c) / (jnp.sqrt(v2 / b2c) + eps)
-    om_ref[:] = m2
-    ov_ref[:] = v2
+    om_ref[:] = m2.astype(om_ref.dtype)
+    ov_ref[:] = v2.astype(ov_ref.dtype)
 
 
 def pack_meta(uids: jnp.ndarray, gsum: jnp.ndarray, n_rows: int, d: int):
@@ -241,7 +244,9 @@ def sparse_adam_kernel_premeta(w: jnp.ndarray, m: jnp.ndarray,
     ow, om, ov = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((n_flat, LANES), w.dtype),) * 3,
+        out_shape=(jax.ShapeDtypeStruct((n_flat, LANES), w.dtype),
+                   jax.ShapeDtypeStruct((n_flat, LANES), m.dtype),
+                   jax.ShapeDtypeStruct((n_flat, LANES), v.dtype)),
         input_output_aliases={2: 0, 3: 1, 4: 2},  # w,m,v in place
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),

@@ -164,11 +164,13 @@ def _lazy_sparse_adam(w, m, v, uids, gsum, t, lr, b1=0.9, b2=0.99, eps=1e-8,
 
     def adam(w_, m_, v_, g_, mask):
         g_ = g_ + decay * w_ * mask
-        m2 = jnp.where(mask > 0, b1 * m_ + (1.0 - b1) * g_, m_)
-        v2 = jnp.where(mask > 0, b2 * v_ + (1.0 - b2) * g_ * g_, v_)
+        mf = m_.astype(jnp.float32)
+        vf = v_.astype(jnp.float32)
+        m2 = jnp.where(mask > 0, b1 * mf + (1.0 - b1) * g_, mf)
+        v2 = jnp.where(mask > 0, b2 * vf + (1.0 - b2) * g_ * g_, vf)
         w2 = jnp.where(mask > 0,
                        w_ - lr * (m2 / b1c) / (jnp.sqrt(v2 / b2c) + eps), w_)
-        return w2, m2, v2
+        return w2, m2.astype(m.dtype), v2.astype(v.dtype)
 
     if not is_flat:
         mask = (uids < n_rows).astype(w.dtype)[:, None]
@@ -227,10 +229,11 @@ def _xla_sparse_adam(w, m, v, uids, gsum, t, lr, b1=0.9, b2=0.99, eps=1e-8,
 
     def adam(w_, m_, v_, g_):
         g_ = g_ + decay * w_
-        m2 = b1 * m_ + (1.0 - b1) * g_
-        v2 = b2 * v_ + (1.0 - b2) * g_ * g_
+        # f32 compute regardless of moment storage dtype (no-op for f32)
+        m2 = b1 * m_.astype(jnp.float32) + (1.0 - b1) * g_
+        v2 = b2 * v_.astype(jnp.float32) + (1.0 - b2) * g_ * g_
         w2 = w_ - lr * (m2 / b1c) / (jnp.sqrt(v2 / b2c) + eps)
-        return w2, m2, v2
+        return w2, m2.astype(m.dtype), v2.astype(v.dtype)
 
     # phase B inputs from the PRE-step state (gather before the dense pass
     # so XLA cannot alias it away; sentinel rows clip to row n_rows-1 and

@@ -287,7 +287,8 @@ class AREADTrainer:
             from aread_tpu.parallel.mesh import param_shardings
             shardings = param_shardings(params, self.mesh)
             params = jax.tree_util.tree_map(jax.device_put, params, shardings)
-        opt_state = hybrid_init(self.optimizer, params)
+        opt_state = hybrid_init(self.optimizer, params,
+                                moments_dtype=self.config.table_moments_dtype)
         return params, state, opt_state
 
     def _place(self, batch):
@@ -468,7 +469,9 @@ class AREADTrainer:
                     init_active_percent=self.init_active_percent,
                     random_modify_sigma=self.random_modify_sigma)
                 fparams, fstate = self._restore(snap)
-                fast_opt_state = hybrid_init(self.fast_optimizer, fparams)
+                fast_opt_state = hybrid_init(
+                    self.fast_optimizer, fparams,
+                    moments_dtype=self.config.table_moments_dtype)
                 rng, srng = jax.random.split(rng)
                 # fall back to original train data for domains the augmented
                 # file doesn't cover (possible for tiny subsamples)
@@ -685,7 +688,9 @@ class AREADTrainer:
             # full sequence per epoch. We also reset the patience counter —
             # the main loop exits with it exhausted.
             fns = self._fns or self._build_fns()
-            final_opt_state = hybrid_init(fns["final_opt"], params)
+            final_opt_state = hybrid_init(
+                fns["final_opt"], params,
+                moments_dtype=self.config.table_moments_dtype)
             self.trial_counter = 0
             for epoch_i in range(epochs if epochs is not None else cfg.final_epoch):
                 t0 = time.time()

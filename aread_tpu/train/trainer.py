@@ -110,12 +110,16 @@ def table_reg_value(table):
     return TABLE_L2 * jnp.sum(jnp.square(jax.lax.stop_gradient(table)))
 
 
-def hybrid_init(optimizer: optax.GradientTransformation, params: Dict) -> Dict:
+def hybrid_init(optimizer: optax.GradientTransformation, params: Dict,
+                moments_dtype=None) -> Dict:
+    """``moments_dtype``: storage dtype for the table Adam moments
+    (config.table_moments_dtype; bf16 halves their sweep traffic)."""
     table, rest = split_table(params)
+    mdt = table.dtype if moments_dtype is None else jnp.dtype(moments_dtype)
     return {
         "inner": optimizer.init(rest),
-        "m": jnp.zeros_like(table),
-        "v": jnp.zeros_like(table),
+        "m": jnp.zeros(table.shape, mdt),
+        "v": jnp.zeros(table.shape, mdt),
         "t": jnp.zeros((), jnp.int32),
     }
 
@@ -281,7 +285,8 @@ class Trainer:
             from aread_tpu.parallel.mesh import param_shardings
             shardings = param_shardings(params, self.mesh)
             params = jax.tree_util.tree_map(jax.device_put, params, shardings)
-        opt_state = hybrid_init(self.optimizer, params)
+        opt_state = hybrid_init(self.optimizer, params,
+                                moments_dtype=self.config.table_moments_dtype)
         return params, state, opt_state
 
     # ------------------------------------------------------------ placement

@@ -72,8 +72,12 @@ def main():
         lambda r, xx: model.init({"params": r, "dropout": r}, xx, mode="wo_mask")
     )(jax.random.PRNGKey(0), x)
     params, state = split_variables(variables)
+    import os
     optimizer = make_optimizer(1e-3)
-    opt_state = hybrid_init(optimizer, params)
+    # AREAD_TPU_BENCH_MOMENTS=bfloat16: measure config.table_moments_dtype
+    # ='bfloat16' (bf16 moment storage, f32 compute)
+    moments_dtype = os.environ.get("AREAD_TPU_BENCH_MOMENTS") or None
+    opt_state = hybrid_init(optimizer, params, moments_dtype=moments_dtype)
     # table L2 folds into the fused Adam kernel (ops/pallas/fused_adam.py);
     # reported loss still includes its value (trainer.table_reg_value)
     reg_rules = strip_table_rule(type(model).REG_RULES)
@@ -87,7 +91,6 @@ def main():
     # (torch SparseAdam semantics, O(batch) optimizer traffic) instead of
     # the default exact dense-Adam semantics. The headline metric stays the
     # exact mode — it is the apples-to-apples number vs the reference.
-    import os
     lazy = bool(int(os.environ.get("AREAD_TPU_BENCH_LAZY", "0")))
 
     def one_step(carry, rng):
@@ -149,7 +152,8 @@ def main():
     vs = eps / BASELINE_EXAMPLES_PER_SEC if BASELINE_EXAMPLES_PER_SEC else None
     print(json.dumps({
         "metric": "aread_train_examples_per_sec_per_chip"
-                  + ("_lazy" if lazy else ""),
+                  + ("_lazy" if lazy else "")
+                  + ("_bf16m" if moments_dtype else ""),
         "value": round(eps, 1),
         "unit": "examples/s",
         "vs_baseline": round(vs, 2) if vs else None,

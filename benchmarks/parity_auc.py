@@ -92,6 +92,15 @@ class RepairedRun(Run):
        construction (run.py:310-353) raises num_samples=0. Repair backfills
        an empty domain's aug split with its original train rows (i.e. 'no
        augmentation for this domain').
+
+    NOT repaired — amazon/aread reference rows stay empty: the amazon
+    sample's 5% valid slice leaves several of the 25 domains with zero
+    rows, and AREAD's per-domain evaluation both crashes on the empty
+    DataLoader (run.py:335) and, if empty domains were filtered out,
+    misindexes: batch sequences carry original domain ids (run.py:337-341)
+    into a loader list compacted by the filter (run.py:330-335). Making it
+    run would require changing its evaluation semantics. The aread_tpu
+    side runs fine (fixed-shape padded batches handle empty domains).
     """
 
     def read_split_data(self, path, aug_path, history=True, only_id=False):
@@ -164,8 +173,10 @@ def run_reference(model, ds, seed, epoch, timeout):
     # (None, None, None, None) expecting .pth tensor caches that a fresh
     # checkout doesn't have (run.py:170-173) -> crash; an all-domains
     # filter is a no-op that takes the data-bearing path
-    n_dom = {"amazon": 25, "aliccp": 30}[ds]
-    argv += ["--domain_filter", "[" + ",".join(map(str, range(n_dom))) + "]"]
+    if "--domain_filter" not in argv:
+        n_dom = {"amazon": 25, "aliccp": 30}[ds]
+        argv += ["--domain_filter",
+                 "[" + ",".join(map(str, range(n_dom))) + "]"]
     driver = REF_DRIVER.format(ws=WS, ref=REF, argv=argv, model=model)
     path = os.path.join(WS, "driver.py")
     with open(path, "w") as f:

@@ -72,6 +72,11 @@ def load_config() -> Config:
                              "(exact); 'lazy_adam' = torch SparseAdam "
                              "semantics, only touched rows update "
                              "(O(batch) optimizer traffic)")
+    parser.add_argument("--table_moments_dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="storage dtype of the table Adam moments; "
+                             "bfloat16 cuts the optimizer's table sweep "
+                             "traffic (compute stays f32)")
     parser.add_argument("--use_dcn", type=int, default=1,
                         help="side CrossNetwork tower in multi-tower models "
                              "(reference config.py:35; its default-on path "
@@ -87,6 +92,10 @@ def load_config() -> Config:
 
     cfg_fields = {f.name for f in dataclasses.fields(Config)}
     kwargs = {k: v for k, v in vars(args).items() if k in cfg_fields}
+    if isinstance(kwargs.get("domain_filter"), str):
+        # "[0,1,2]" -> [0, 1, 2] (reference run.py:148-149 literal_evals)
+        import ast
+        kwargs["domain_filter"] = ast.literal_eval(kwargs["domain_filter"])
     cfg = Config(**kwargs)
     random.seed(cfg.seed)
     np.random.seed(cfg.seed)

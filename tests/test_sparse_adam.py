@@ -283,3 +283,79 @@ def test_pallas_kernel_bf16x3_split_is_exact():
     np.testing.assert_array_equal(np.asarray(sm), np.asarray(dm))
     np.testing.assert_array_equal(np.asarray(sv), np.asarray(dv))
     np.testing.assert_array_equal(np.asarray(sw), np.asarray(dw))
+
+
+def test_bf16_moments_kernel_matches_xla_path():
+    """config.table_moments_dtype='bfloat16': moments stored bf16, compute
+    f32. The Pallas kernel and the XLA fallback must agree bit-for-bit
+    (same expression, same rounding points), and must track the fp32-
+    moments ground truth closely."""
+    from aread_tpu.ops.pallas.sparse_adam_kernel import (
+        BLOCK_F, sparse_adam_kernel_update)
+    from aread_tpu.ops.sparse_adam import _xla_sparse_adam
+
+    rng = np.random.default_rng(7)
+    n_rows, D, K = (BLOCK_F + 17) * 16, 8, 128
+    w = jnp.asarray(rng.normal(size=(n_rows, D)), jnp.float32)
+    m32 = jnp.asarray(rng.normal(size=(n_rows, D)) * 0.1, jnp.float32)
+    v32 = jnp.asarray(np.abs(rng.normal(size=(n_rows, D))) * 0.01, jnp.float32)
+    m16, v16 = m32.astype(jnp.bfloat16), v32.astype(jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(0, n_rows, K), jnp.int32)
+    gv = jnp.asarray(rng.normal(size=(K, D)), jnp.float32)
+    t = jnp.asarray(3, jnp.int32)
+    kw = dict(lr=1e-3, b1=0.9, b2=0.99, eps=1e-8, weight_decay=1e-8, l2=1e-5)
+
+    uids, gsum = dedup_rows(ids, gv, n_rows)
+    kw_out = sparse_adam_kernel_update(w, m16, v16, uids, gsum, t,
+                                       interpret=True, **kw)
+    xla_out = _xla_sparse_adam(w, m16, v16, uids, gsum, t, **kw)
+    assert kw_out[1].dtype == jnp.bfloat16 and kw_out[2].dtype == jnp.bfloat16
+    for a, b in zip(kw_out, xla_out):
+        assert a.dtype == b.dtype
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=0, atol=2e-6)
+
+    # same ballpark as the fp32-moments ground truth: inputs were pre-
+    # rounded to bf16 (~0.4% relative), and Adam's normalized update can
+    # amplify that toward its lr-bounded magnitude — this guards against
+    # gross compute-dtype errors, not rounding
+    ref = _xla_sparse_adam(w, m32, v32, uids, gsum, t, **kw)
+    np.testing.assert_allclose(np.asarray(kw_out[0]), np.asarray(ref[0]),
+                               rtol=0, atol=1e-3)
+
+
+def test_bf16_moments_hybrid_init_and_step():
+    """hybrid_init(moments_dtype='bfloat16') threads through a sparse
+    hybrid step without dtype drift."""
+    from aread_tpu.data.loader import make_synthetic_data
+    from aread_tpu.train.trainer import (embedding_flat_ids, hybrid_init,
+                                         hybrid_update_sparse,
+                                         make_optimizer, perturbation_zeros,
+                                         split_table)
+    from aread_tpu.models.deepfm import DeepFM
+
+    data = make_synthetic_data(n_rows=128, n_domain=2, vocab=48, seed=9)
+    model = DeepFM(spec=data.spec, embed_dim=8, mlp_dims=(16,))
+    x = jnp.asarray(data.train_x[:16])
+    y = jnp.asarray(data.train_y[:16].astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)}, x)
+    params = variables["params"]
+    opt = make_optimizer(1e-3)
+    opt_state = hybrid_init(opt, params, moments_dtype="bfloat16")
+    assert opt_state["m"].dtype == jnp.bfloat16
+
+    ids = embedding_flat_ids(data.spec, x)
+    rows = jnp.ones(x.shape + (8,), jnp.float32) * 0.01
+    table, rest = split_table(params)
+    g_rest = jax.tree.map(jnp.zeros_like, rest)
+    n_rows = int(np.sum(data.spec.one_hot_dims))
+    new_params, new_opt_state = hybrid_update_sparse(
+        opt, 1e-3, 1e-8, params, g_rest, ids, rows, opt_state,
+        table_shape=(n_rows, 8))
+    assert new_opt_state["m"].dtype == jnp.bfloat16
+    assert new_opt_state["v"].dtype == jnp.bfloat16
+    # touched rows moved
+    t0, _ = split_table(params)
+    t1, _ = split_table(new_params)
+    assert not np.array_equal(np.asarray(t0), np.asarray(t1))
