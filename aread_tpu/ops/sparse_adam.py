@@ -62,7 +62,8 @@ def sparse_table_adam(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
                       b2: float = 0.99, eps: float = 1e-8,
                       weight_decay: float = 1e-8, l2: float = 0.0,
                       table_shape: Tuple[int, int] = None,
-                      lazy: bool = False
+                      lazy: bool = False,
+                      assume_no_overflow: bool = False
                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Dense-semantics Adam step from a sparse data gradient.
 
@@ -76,7 +77,8 @@ def sparse_table_adam(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
     uids, gsum = dedup_rows(flat_ids, flat_grads, n_rows)
     return sparse_adam_dispatch(w, m, v, uids, gsum, t, lr=lr, b1=b1, b2=b2,
                                 eps=eps, weight_decay=weight_decay, l2=l2,
-                                table_shape=(n_rows, d), lazy=lazy)
+                                table_shape=(n_rows, d), lazy=lazy,
+                                assume_no_overflow=assume_no_overflow)
 
 
 def sparse_adam_dispatch(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
@@ -85,12 +87,22 @@ def sparse_adam_dispatch(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
                          b2: float = 0.99, eps: float = 1e-8,
                          weight_decay: float = 1e-8, l2: float = 0.0,
                          table_shape: Tuple[int, int] = None,
-                         lazy: bool = False
+                         lazy: bool = False,
+                         assume_no_overflow: bool = False
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """sparse_table_adam after dedup: (uids, gsum) are SORTED-unique with
     sentinel >= n_rows padding. Kernel on TPU when supported, exact XLA
     two-phase otherwise / on overflow. Also the per-shard body of
     parallel.sharded_adam (each shard passes its local slice).
+
+    ``assume_no_overflow=True`` drops the lax.cond overflow fallback and
+    calls the kernel unconditionally. The cond is EXPENSIVE: XLA cannot
+    alias the three table-sized buffers uniformly across its branches
+    (the fallback branch relayouts them), inserting full-table copies —
+    measured 1.26 ms/step, 25% of the whole train step. The caller MUST
+    have verified the batch with ``rows_fit_kernel`` first (host numpy,
+    microseconds); trainers do this per scan chunk and fall back to the
+    safe variant for the (never observed in practice) overflowing chunk.
 
     ``lazy=True`` switches to torch.optim.SparseAdam semantics: ONLY the
     rows gathered this step are updated (moments of untouched rows do not
@@ -129,6 +141,10 @@ def sparse_adam_dispatch(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
         # recomputed the bounds math in a separate check — ~0.6 ms/step).
         bounds, fr_pad, gfull, overflow = sak.pack_meta(uids, gsum,
                                                         n_rows, d)
+        if assume_no_overflow:
+            return sak.sparse_adam_kernel_premeta(
+                w, m, v, bounds, fr_pad, gfull, t,
+                table_shape=(n_rows, d), **kw)
         return jax.lax.cond(
             overflow,
             xla_path,
@@ -138,6 +154,29 @@ def sparse_adam_dispatch(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
             w, m, v)
 
     return xla_path(w, m, v)
+
+
+def rows_fit_kernel(row_ids, n_rows: int, d: int) -> bool:
+    """Host-side (numpy) check that a batch's table row ids fit the
+    kernel's per-block PAD_W window — the exact predicate pack_meta's
+    overflow flag computes on device. True means sparse_adam_dispatch may
+    run with ``assume_no_overflow=True`` (no lax.cond, no table copies).
+    ``row_ids``: already-offset table row ids, any shape."""
+    import numpy as np
+
+    from aread_tpu.ops.pallas import sparse_adam_kernel as sak
+
+    if not sak.supports(n_rows, d):
+        return False  # kernel unused; the flag would be meaningless
+    rpf = sak.LANES // d
+    n_flat = (n_rows * d) // sak.LANES
+    grid = -(-n_flat // sak.BLOCK_F)
+    # presence bitmap instead of np.unique: O(K + n_flat), ~1 ms at
+    # chunk scale vs ~20 ms for a 557k-element sort
+    present = np.zeros(grid * sak.BLOCK_F, bool)
+    present[np.asarray(row_ids).reshape(-1) // rpf] = True
+    counts = present.reshape(grid, sak.BLOCK_F).sum(axis=1)
+    return int(counts.max(initial=0)) <= sak.PAD_W
 
 
 def _lazy_sparse_adam(w, m, v, uids, gsum, t, lr, b1=0.9, b2=0.99, eps=1e-8,

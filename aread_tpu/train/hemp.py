@@ -112,13 +112,15 @@ class AREADTrainer:
                 + table_reg_value(p["embedding"]["table"])
             return loss, (new_state, out["gate_means"])
 
-        def step_core(opt, opt_lr, mode, params, state, opt_state, batch, dm, rng):
+        def step_core(opt, opt_lr, mode, params, state, opt_state, batch,
+                      dm, rng, no_overflow=False):
             from aread_tpu.train.trainer import matmul_precision_ctx
             with matmul_precision_ctx(cfg.compute_dtype):
                 return _step_body(opt, opt_lr, mode, params, state, opt_state,
-                                  batch, dm, rng)
+                                  batch, dm, rng, no_overflow)
 
-        def _step_body(opt, opt_lr, mode, params, state, opt_state, batch, dm, rng):
+        def _step_body(opt, opt_lr, mode, params, state, opt_state, batch,
+                       dm, rng, no_overflow):
             if sparse:
                 # grads w.r.t. gathered rows (perturb tap) + 2-phase sparse
                 # Adam — bit-identical to dense, no [n_rows, E] cotangent
@@ -137,7 +139,8 @@ class AREADTrainer:
                     g_pert["embedding"]["rows"], opt_state,
                     table_shape=(int(np.sum(spec.one_hot_dims)), embed_dim),
                     mesh=self.mesh,
-                    lazy=cfg.table_optimizer == "lazy_adam")
+                    lazy=cfg.table_optimizer == "lazy_adam",
+                    assume_no_overflow=no_overflow)
                 return new_params, dict(new_state), new_opt_state, loss, gms
             (loss, (new_state, gms)), grads = jax.value_and_grad(
                 bagging_loss, has_aux=True)(params, None, state, batch, dm, rng, mode)
@@ -146,33 +149,34 @@ class AREADTrainer:
             return new_params, dict(new_state), new_opt_state, loss, gms
 
         def make_step(opt, opt_lr, mode):
-            def step(params, state, opt_state, batch, dm, rng):
+            def step(params, state, opt_state, batch, dm, rng,
+                     no_overflow=False):
                 return step_core(opt, opt_lr, mode, params, state, opt_state,
-                                 batch, dm, rng)
-            return jax.jit(step, donate_argnums=(0, 1, 2))
+                                 batch, dm, rng, no_overflow)
+            return jax.jit(step, donate_argnums=(0, 1, 2),
+                           static_argnums=(6,))
 
         def make_scan(opt, opt_lr, mode):
             """SCAN_CHUNK steps in one device dispatch — a python step
             loop pays ~8-30 ms host dispatch per step on this image's
             tunneled TPU. ``batches``/``dms`` carry a leading [S] axis;
             per-step gate means come back stacked for host recording."""
-            def step(params, state, opt_state, batch, dm, rng):
-                return step_core(opt, opt_lr, mode, params, state, opt_state,
-                                 batch, dm, rng)
-
-            def scan_fn(params, state, opt_state, batches, dms, rng):
+            def scan_fn(params, state, opt_state, batches, dms, rng,
+                        no_overflow=False):
                 def body(carry, inp):
                     params, state, opt_state, rng = carry
                     batch, dm = inp
                     rng, srng = jax.random.split(rng)
-                    params, state, opt_state, loss, gms = step(
-                        params, state, opt_state, batch, dm, srng)
+                    params, state, opt_state, loss, gms = step_core(
+                        opt, opt_lr, mode, params, state, opt_state, batch,
+                        dm, srng, no_overflow)
                     return (params, state, opt_state, rng), (loss, gms)
 
                 (params, state, opt_state, rng), (losses, gms) = jax.lax.scan(
                     body, (params, state, opt_state, rng), (batches, dms))
                 return params, state, opt_state, rng, losses, gms
-            return jax.jit(scan_fn, donate_argnums=(0, 1, 2))
+            return jax.jit(scan_fn, donate_argnums=(0, 1, 2),
+                           static_argnums=(6,))
 
         @jax.jit
         def eval_loss_multi(params, state, batches, dm):
@@ -325,7 +329,12 @@ class AREADTrainer:
             steps for partial chunks (a scan per distinct length would
             recompile, and compiles over this image's TPU tunnel cost
             minutes). Flagged per-step gate means are recorded after."""
+            from aread_tpu.train.trainer import batch_fits_kernel
+            spec, ed = self.model.spec, self.model.embed_dim
             if len(pending) == self.SCAN_CHUNK:
+                xs = np.stack([p[1]["x"] for p in pending])
+                fits = cfg.sparse_table_grad and self.mesh is None and \
+                    batch_fits_kernel(spec, ed, xs)
                 batches = self._place_stacked(
                     {k: np.stack([p[1][k] for p in pending])
                      for k in pending[0][1]})
@@ -334,7 +343,7 @@ class AREADTrainer:
                 n_ex = int(sum(p[1]["valid"].sum() for p in pending))
                 with self.step_timer.step(n_examples=n_ex):
                     params, state, opt_state, rng, ls, gms = scan_fn(
-                        params, state, opt_state, batches, dms, rng)
+                        params, state, opt_state, batches, dms, rng, fits)
                 losses.extend(np.asarray(ls).tolist())
                 gms_np = [np.asarray(g) for g in gms]  # each [S, T_prev, T_l]
                 for i, (d, _, _, record) in enumerate(pending):
@@ -342,11 +351,14 @@ class AREADTrainer:
                         ms.record_gates(d, [g[i] for g in gms_np])
                 return params, state, opt_state, rng
             for d, batch_np, mask, record in pending:
+                fits = cfg.sparse_table_grad and self.mesh is None and \
+                    batch_fits_kernel(spec, ed, batch_np["x"])
                 batch = self._place(batch_np)
                 rng, srng = jax.random.split(rng)
                 with self.step_timer.step(n_examples=int(batch_np["valid"].sum())):
                     params, state, opt_state, loss, gms = step_fn(
-                        params, state, opt_state, batch, _to_device_mask(mask), srng)
+                        params, state, opt_state, batch, _to_device_mask(mask),
+                        srng, fits)
                 losses.append(float(loss))
                 if record:
                     ms.record_gates(d, [np.asarray(g) for g in gms])
@@ -477,12 +489,18 @@ class AREADTrainer:
                 # file doesn't cover (possible for tiny subsamples)
                 fa_batcher = aug_batcher if len(aug_batcher.domain_indices[d]) \
                     else train_batcher
+                from aread_tpu.train.trainer import batch_fits_kernel
                 for s in range(cfg.regroup_update_step):
-                    batch = self._place(fa_batcher.next_batch(d))
+                    batch_np = fa_batcher.next_batch(d)
+                    fits = cfg.sparse_table_grad and self.mesh is None and \
+                        batch_fits_kernel(self.model.spec,
+                                          self.model.embed_dim,
+                                          batch_np["x"])
+                    batch = self._place(batch_np)
                     srng, step_rng = jax.random.split(srng)
                     fparams, fstate, fast_opt_state, loss, gms = fns["fast_step"](
                         fparams, fstate, fast_opt_state, batch,
-                        _to_device_mask(tmp_mask), step_rng)
+                        _to_device_mask(tmp_mask), step_rng, fits)
                     ms.record_tmp_gates([np.asarray(g) for g in gms], tmp_mask)
                     tmp_mask = ms.prun_single_mask(d, tmp_mask, prun_ratio=0.05)
                 ms.candidate_domain_mask[d].append(tmp_mask)

@@ -168,6 +168,26 @@ def embedding_flat_ids(spec, x) -> jnp.ndarray:
     return jnp.clip(ids, 0, n_rows - 1)
 
 
+def batch_fits_kernel(spec, embed_dim: int, x_np) -> bool:
+    """Host-side mirror of embedding_flat_ids + rows_fit_kernel: True when
+    this batch's (or stacked chunk's) ids fit the sparse-Adam kernel's
+    PAD_W window, allowing the no-cond fast dispatch (the lax.cond
+    fallback costs ~1.26 ms/step in table copies). Only meaningful on the
+    TPU backend — returns False elsewhere so the safe variant is the one
+    (and only) compilation."""
+    if jax.default_backend() != "tpu":
+        return False
+    from aread_tpu.ops.embedding import compute_offsets
+    from aread_tpu.ops.sparse_adam import rows_fit_kernel
+
+    offsets = np.asarray(compute_offsets(
+        spec.one_hot_dims, spec.n_seq_fields * spec.seq_maxlen,
+        spec.itemid_idx))
+    n_rows = int(np.sum(spec.one_hot_dims))
+    ids = np.clip(np.asarray(x_np) + offsets, 0, n_rows - 1)
+    return rows_fit_kernel(ids, n_rows, embed_dim)
+
+
 def perturbation_zeros(spec, x, embed_dim: int) -> Dict:
     """Zero 'perturbations' collection matching the embedding tap."""
     return {"embedding": {"rows": jnp.zeros(x.shape + (embed_dim,),
@@ -179,7 +199,8 @@ def hybrid_update_sparse(optimizer: optax.GradientTransformation, lr: float,
                          table_ids: jnp.ndarray, row_grads: jnp.ndarray,
                          opt_state: Dict, table_l2: float = TABLE_L2,
                          table_shape: Tuple[int, int] = None,
-                         mesh=None, lazy: bool = False) -> Tuple[Dict, Dict]:
+                         mesh=None, lazy: bool = False,
+                         assume_no_overflow: bool = False) -> Tuple[Dict, Dict]:
     """hybrid_update with the table's data gradient in sparse (ids, rows)
     form: the dense [n_rows, E] cotangent never exists. Bit-identical to
     the dense path (ops/sparse_adam.py). ``g_rest`` excludes the table.
@@ -203,7 +224,7 @@ def hybrid_update_sparse(optimizer: optax.GradientTransformation, lr: float,
         new_table, m, v = sparse_table_adam(
             p_table, opt_state["m"], opt_state["v"], flat_ids, flat_rows,
             t, lr=lr, weight_decay=wd, l2=table_l2, table_shape=table_shape,
-            lazy=lazy)
+            lazy=lazy, assume_no_overflow=assume_no_overflow)
     updates, new_inner = optimizer.update(g_rest, opt_state["inner"], p_rest)
     new_rest = optax.apply_updates(p_rest, updates)
     new_opt_state = {"inner": new_inner, "m": m, "v": v, "t": t}
@@ -331,11 +352,13 @@ class Trainer:
 
         compute_dtype = self.config.compute_dtype
 
-        def step_core(params, state, opt_state, batch, rng):
+        def step_core(params, state, opt_state, batch, rng,
+                      no_overflow=False):
             with matmul_precision_ctx(compute_dtype):
-                return _step_body(params, state, opt_state, batch, rng)
+                return _step_body(params, state, opt_state, batch, rng,
+                                  no_overflow)
 
-        def _step_body(params, state, opt_state, batch, rng):
+        def _step_body(params, state, opt_state, batch, rng, no_overflow):
             x, y, valid = batch["x"], batch["y"], batch["valid"]
             group = batch.get("group")
 
@@ -374,7 +397,8 @@ class Trainer:
                     g_pert["embedding"]["rows"], opt_state,
                     table_shape=(int(np.sum(spec.one_hot_dims)), embed_dim),
                     mesh=mesh,
-                    lazy=self.config.table_optimizer == "lazy_adam")
+                    lazy=self.config.table_optimizer == "lazy_adam",
+                    assume_no_overflow=no_overflow)
                 return new_params, dict(new_state), new_opt_state, loss
 
             def loss_fn(p):
@@ -391,7 +415,8 @@ class Trainer:
         return step_core
 
     def _build_train_step(self):
-        return partial(jax.jit, donate_argnums=(0, 1, 2))(self._build_step_core())
+        return partial(jax.jit, donate_argnums=(0, 1, 2),
+                       static_argnums=(5,))(self._build_step_core())
 
     def _build_train_scan(self):
         """SCAN_CHUNK train steps in ONE device dispatch (lax.scan).
@@ -402,13 +427,14 @@ class Trainer:
         dict of [S, bs, ...] arrays."""
         step_core = self._build_step_core()
 
-        @partial(jax.jit, donate_argnums=(0, 1, 2))
-        def train_scan(params, state, opt_state, batches, rng):
+        @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=(5,))
+        def train_scan(params, state, opt_state, batches, rng,
+                       no_overflow=False):
             def body(carry, batch):
                 params, state, opt_state, rng = carry
                 rng, srng = jax.random.split(rng)
                 params, state, opt_state, loss = step_core(
-                    params, state, opt_state, batch, srng)
+                    params, state, opt_state, batch, srng, no_overflow)
                 return (params, state, opt_state, rng), loss
 
             (params, state, opt_state, rng), losses = jax.lax.scan(
@@ -448,12 +474,15 @@ class Trainer:
         pending: list = []
 
         def flush_chunk(params, state, opt_state, rng, chunk):
+            xs = np.stack([b["x"] for b in chunk])
+            fits = self.config.sparse_table_grad and self.mesh is None and \
+                batch_fits_kernel(self.model.spec, self.model.embed_dim, xs)
             stacked = self._place_stacked(
                 {k: np.stack([b[k] for b in chunk]) for k in chunk[0]})
             n_ex = int(sum(b["valid"].sum() for b in chunk))
             with self.step_timer.step(n_examples=n_ex):
                 params, state, opt_state, rng, ls = self._train_scan(
-                    params, state, opt_state, stacked, rng)
+                    params, state, opt_state, stacked, rng, fits)
             losses.extend(np.asarray(ls).tolist())
             return params, state, opt_state, rng
 
@@ -468,10 +497,13 @@ class Trainer:
             # for the tail of the epoch)
             for batch in pending:
                 rng, step_rng = jax.random.split(rng)
+                fits = self.config.sparse_table_grad and self.mesh is None \
+                    and batch_fits_kernel(self.model.spec,
+                                          self.model.embed_dim, batch["x"])
                 jb = self._place(batch)
                 with self.step_timer.step(n_examples=int(batch["valid"].sum())):
                     params, state, opt_state, loss = self._train_step(
-                        params, state, opt_state, jb, step_rng)
+                        params, state, opt_state, jb, step_rng, fits)
                 losses.append(loss)
         mean_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
         return params, state, opt_state, rng, mean_loss

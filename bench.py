@@ -92,6 +92,9 @@ def main():
     # the default exact dense-Adam semantics. The headline metric stays the
     # exact mode — it is the apples-to-apples number vs the reference.
     lazy = bool(int(os.environ.get("AREAD_TPU_BENCH_LAZY", "0")))
+    # host-checked no-cond fast dispatch, exactly as the trainers do it
+    from aread_tpu.train.trainer import batch_fits_kernel
+    fits = batch_fits_kernel(spec, embed_dim, np.asarray(x))
 
     def one_step(carry, rng):
         # sparse-table-grad step, exactly what the trainers run
@@ -124,7 +127,7 @@ def main():
             optimizer, 1e-3, 1e-8, params, g_rest, ids,
             g_pert["embedding"]["rows"], opt_state,
             table_shape=(int(np.sum(spec.one_hot_dims)), embed_dim),
-            lazy=lazy)
+            lazy=lazy, assume_no_overflow=fits)
         return (new_params, dict(new_state), new_opt_state), loss
 
     n_steps = 50
