@@ -108,8 +108,9 @@ class AREADTrainer:
                     in_axes=1)(out["leaf_logit"])  # [T_last]
                 la = out["leaf_active"].astype(per_leaf.dtype)
                 bce = jnp.sum(per_leaf * la) / jnp.maximum(la.sum(), 1e-8)
-            loss = bce + regularization_loss(p, reg_rules) \
-                + table_reg_value(p["embedding"]["table"])
+            loss = bce + regularization_loss(p, reg_rules)
+            if cfg.loss_report_table_l2:
+                loss = loss + table_reg_value(p["embedding"]["table"])
             return loss, (new_state, out["gate_means"])
 
         def step_core(opt, opt_lr, mode, params, state, opt_state, batch,

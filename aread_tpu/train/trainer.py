@@ -349,6 +349,7 @@ class Trainer:
         embed_dim = self.model.embed_dim
         sparse = self.config.sparse_table_grad
         mesh = self.mesh
+        report_treg = self.config.loss_report_table_l2
 
         compute_dtype = self.config.compute_dtype
 
@@ -384,8 +385,9 @@ class Trainer:
                     variables = {"params": merge_table(rest_p, table),
                                  "perturbations": pert, **state}
                     bce, new_state = forward(variables)
-                    loss = bce + regularization_loss(rest_p, reg_rules) \
-                        + table_reg_value(table)
+                    loss = bce + regularization_loss(rest_p, reg_rules)
+                    if report_treg:
+                        loss = loss + table_reg_value(table)
                     return loss, new_state
 
                 pert0 = perturbation_zeros(spec, x, embed_dim)
@@ -403,8 +405,9 @@ class Trainer:
 
             def loss_fn(p):
                 bce, new_state = forward({"params": p, **state})
-                loss = bce + regularization_loss(p, reg_rules) \
-                    + table_reg_value(p["embedding"]["table"])
+                loss = bce + regularization_loss(p, reg_rules)
+                if report_treg:
+                    loss = loss + table_reg_value(p["embedding"]["table"])
                 return loss, new_state
 
             (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

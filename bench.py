@@ -31,7 +31,14 @@ BASELINE_EXAMPLES_PER_SEC = 203.3
 
 
 def main():
+    import os
+
     import jax
+    # AREAD_TPU_BENCH_TUNED=1: the zero-quality-impact speed knobs
+    # (config.prng_impl='rbg' dropout masks + loss_report_table_l2=False)
+    tuned = bool(int(os.environ.get("AREAD_TPU_BENCH_TUNED", "0")))
+    if tuned:
+        jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
     import optax
 
@@ -115,8 +122,9 @@ def main():
                 in_axes=1)(out["leaf_logit"])
             la = out["leaf_active"].astype(per_leaf.dtype)
             bce = jnp.sum(per_leaf * la) / jnp.maximum(la.sum(), 1e-8)
-            loss = bce + regularization_loss(rest_p, reg_rules) \
-                + table_reg_value(table)
+            loss = bce + regularization_loss(rest_p, reg_rules)
+            if not tuned:
+                loss = loss + table_reg_value(table)
             return loss, new_state
 
         pert0 = perturbation_zeros(spec, x, embed_dim)
@@ -156,7 +164,8 @@ def main():
     print(json.dumps({
         "metric": "aread_train_examples_per_sec_per_chip"
                   + ("_lazy" if lazy else "")
-                  + ("_bf16m" if moments_dtype else ""),
+                  + ("_bf16m" if moments_dtype else "")
+                  + ("_tuned" if tuned else ""),
         "value": round(eps, 1),
         "unit": "examples/s",
         "vs_baseline": round(vs, 2) if vs else None,
