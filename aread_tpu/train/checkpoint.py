@@ -46,8 +46,15 @@ def _mask_from_flat(flat: Dict[str, np.ndarray], n_domain: int) -> List:
 def save_checkpoint(path: str, params, state, opt_state,
                     epoch: int, best_result: Optional[Dict] = None,
                     domain_mask=None, hemp_schedule: Optional[Dict] = None,
-                    rng_key=None):
-    """Write a full training checkpoint to ``path`` (a directory)."""
+                    rng_key=None, spec=None, run_config=None,
+                    n_domain: Optional[int] = None):
+    """Write a full training checkpoint to ``path`` (a directory).
+
+    ``spec`` (a models.base.FeatureSpec) and ``run_config`` (a
+    config.Config) are serialized into meta.json so serving can rebuild
+    the exact model from the checkpoint alone (serve.load_predictor) —
+    the reference stores ``preprocess_path`` for the same purpose
+    (run.py:466)."""
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     ckptr = ocp.PyTreeCheckpointer()
@@ -66,12 +73,25 @@ def save_checkpoint(path: str, params, state, opt_state,
         shutil.rmtree(arrays_dir)
     ckptr.save(arrays_dir, tree)
     meta = {"epoch": epoch}
+    if n_domain is not None:
+        meta["n_domain"] = int(n_domain)
     if best_result is not None:
         meta["best_result"] = {
             k: (float(v) if isinstance(v, (int, float, np.floating)) else None)
             for k, v in best_result.items() if not isinstance(v, dict)}
     if hemp_schedule is not None:
         meta["hemp_schedule"] = hemp_schedule
+    if spec is not None:
+        import dataclasses
+        meta["spec"] = {k: (list(v) if isinstance(v, tuple) else v)
+                        for k, v in dataclasses.asdict(spec).items()}
+    if run_config is not None:
+        import dataclasses
+        meta["config"] = {
+            k: (list(v) if isinstance(v, tuple) else v)
+            for k, v in dataclasses.asdict(run_config).items()
+            if isinstance(v, (int, float, str, bool, tuple, list,
+                              type(None)))}
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
 

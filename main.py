@@ -214,7 +214,8 @@ def main():
                     opt_state={}, epoch=len(result["history"]),
                     best_result={k: v for k, v in result["test"].items()
                                  if not isinstance(v, dict)},
-                    domain_mask=result.get("domain_mask"))
+                    domain_mask=result.get("domain_mask"),
+                    spec=data.spec, run_config=cfg, n_domain=data.n_domain)
     print(f"checkpoint saved: {ckpt_path}")
 
     print("test:", {k: v for k, v in result["test"].items()
