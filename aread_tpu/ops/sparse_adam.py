@@ -179,6 +179,34 @@ def rows_fit_kernel(row_ids, n_rows: int, d: int) -> bool:
     return int(counts.max(initial=0)) <= sak.PAD_W
 
 
+def steps_fit_kernel(row_ids_2d, n_rows: int, d: int) -> bool:
+    """rows_fit_kernel evaluated PER STEP: ``row_ids_2d`` is
+    [n_steps, K] (one optimizer step per row). The overflow predicate is
+    per-step — pooling a whole scan chunk's ids would count the union's
+    distinct rows per block and report 'unfit' for any realistically
+    sized chunk. Vectorized: row-wise sort, distinct-run flags, one
+    bincount over (step, block) keys."""
+    import numpy as np
+
+    from aread_tpu.ops.pallas import sparse_adam_kernel as sak
+
+    if not sak.supports(n_rows, d):
+        return False
+    ids = np.asarray(row_ids_2d)
+    ids = ids.reshape(ids.shape[0], -1) if ids.ndim > 2 else ids
+    rpf = sak.LANES // d
+    n_flat = (n_rows * d) // sak.LANES
+    grid = -(-n_flat // sak.BLOCK_F)
+    fid = np.sort(ids // rpf, axis=1)                    # [S, K]
+    new = np.ones(fid.shape, bool)
+    new[:, 1:] = fid[:, 1:] != fid[:, :-1]
+    blk = fid // sak.BLOCK_F
+    S = fid.shape[0]
+    key = (np.arange(S)[:, None] * grid + blk)[new]
+    counts = np.bincount(key, minlength=S * grid)
+    return int(counts.max(initial=0)) <= sak.PAD_W
+
+
 def _lazy_sparse_adam(w, m, v, uids, gsum, t, lr, b1=0.9, b2=0.99, eps=1e-8,
                       weight_decay=1e-8, l2=0.0, table_shape=None):
     """torch.optim.SparseAdam-semantics update: only the gathered rows'

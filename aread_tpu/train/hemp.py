@@ -179,6 +179,64 @@ class AREADTrainer:
             return jax.jit(scan_fn, donate_argnums=(0, 1, 2),
                            static_argnums=(6,))
 
+        def fast_adapt(params0, state0, mask0, fa_batches, probe_batches,
+                       rng, no_overflow=False):
+            """ONE dispatch for a whole HEMP candidate (run.py:632-657):
+            fresh fast-Adam init, regroup_update_step bagging steps with
+            ON-DEVICE progressive pruning after each (utils.masks.
+            prune_mask_jax — bit-identical to the host prun_single_mask),
+            then all regroup_eval_step no-grad probes. The previous
+            host-driven loop paid, per candidate, a parameter-tree restore,
+            two table-sized zeros inits, a dispatch per fast step and a
+            30-70 ms tunnel fetch per gate record; this replaces ~8 host
+            round trips with one. ``params0/state0`` are the snapshot and
+            are NOT donated — every candidate restarts from them."""
+            opt_state = hybrid_init(fast_opt, params0,
+                                    moments_dtype=cfg.table_moments_dtype)
+
+            def body(carry, batch):
+                params, state, opt_state, mask, rng = carry
+                rng, srng = jax.random.split(rng)
+                params, state, opt_state, _, gms = step_core(
+                    fast_opt, cfg.update_lr, "domain_mask_bagging", params,
+                    state, opt_state, batch, mask, srng, no_overflow)
+                from aread_tpu.utils.masks import prune_mask_jax
+                mask = prune_mask_jax(mask, gms, prun_ratio=0.05)
+                return (params, state, opt_state, mask, rng), 0.0
+
+            (params, state, _, mask, _), _ = jax.lax.scan(
+                body, (params0, state0, opt_state, mask0, rng), fa_batches)
+
+            def probe(batch):
+                out = model.apply({"params": params, **state}, batch["x"],
+                                  domain_mask=mask, mode="domain_with_mask",
+                                  train=False)
+                prob = jnp.clip(out["prob"], 1e-7, 1 - 1e-7)
+                bce = masked_mean(-(batch["y"] * jnp.log(prob)
+                                    + (1 - batch["y"]) * jnp.log1p(-prob)),
+                                  batch["valid"])
+                return bce + regularization_loss(params, reg_rules) \
+                    + table_reg_value(params["embedding"]["table"])
+
+            return mask, jax.lax.map(probe, probe_batches)
+
+        def fast_adapt_many(params0, state0, masks0, fa_batches,
+                            probe_batches, rngs, no_overflow=False):
+            """ALL of a regroup's candidates (domains x candidate_mask_num)
+            in ONE device dispatch: lax.map of the single-candidate chain
+            over stacked masks/batches/keys. Each map iteration restarts
+            from the (non-donated) snapshot, so candidates stay
+            independent exactly as the reference's per-candidate
+            load_model_state (aread.py:534-546, run.py:632-661). Turns
+            ~(domains x candidates) tunnel round trips (~50-80 ms each on
+            this image) into one."""
+            def one(inp):
+                mask0, fa, probe, rng = inp
+                return fast_adapt(params0, state0, mask0, fa, probe, rng,
+                                  no_overflow)
+            return jax.lax.map(one, (masks0, fa_batches, probe_batches,
+                                     rngs))
+
         @jax.jit
         def eval_loss_multi(params, state, batches, dm):
             """The regroup_eval_step no-grad probes in ONE dispatch:
@@ -242,6 +300,8 @@ class AREADTrainer:
             return accum
 
         self._fns = {
+            "fast_adapt": jax.jit(fast_adapt, static_argnums=(6,)),
+            "fast_adapt_many": jax.jit(fast_adapt_many, static_argnums=(6,)),
             "accum": make_accum("domain_with_mask"),
             "accum_final": make_accum("domain_mask_final"),
             "main_step": make_step(main_opt, cfg.lr, "domain_mask_bagging"),
@@ -303,11 +363,15 @@ class AREADTrainer:
         bsh = batch_sharding(self.mesh)
         return {k: jax.device_put(jnp.asarray(v), bsh) for k, v in batch.items()}
 
-    def _place_stacked(self, stacked):
+    def _place_stacked(self, stacked, batch_axis: int = 1):
+        """Shard a stack of batches over the data axis. ``batch_axis``:
+        which axis is the per-step example axis — 1 for [S, bs, ...]
+        scan stacks, 2 for the evolution's [N_cand, S, bs, ...] stacks."""
         if self.mesh is None:
             return {k: jnp.asarray(v) for k, v in stacked.items()}
         from jax.sharding import NamedSharding, PartitionSpec as P
-        sh = NamedSharding(self.mesh, P(None, "data"))
+        sh = NamedSharding(self.mesh,
+                           P(*([None] * batch_axis), "data"))
         return {k: jax.device_put(jnp.asarray(v), sh) for k, v in stacked.items()}
 
     # ------------------------------------------------------------ epochs
@@ -475,47 +539,57 @@ class AREADTrainer:
             print(f"regroup {self.regroup_times}: sigma={self.random_modify_sigma:.4f} "
                   f"active%={self.init_active_percent:.3f} candidates={n_cand}")
         t0 = time.time()
+        from aread_tpu.train.trainer import batch_fits_kernel
+        # stage every candidate's mask + batches host-side, then run the
+        # ENTIRE regroup (domains x candidates: fresh fast Adam from the
+        # snapshot + update steps with on-device pruning + eval probes) in
+        # ONE device dispatch
+        cand_index: List[Tuple[int, int]] = []
+        masks_np: List[List[np.ndarray]] = []
+        fa_all: List[List[Dict]] = []
+        probe_all: List[List[Dict]] = []
+        keys = []
         for d in range(self.n_domain):
+            # fall back to original train data for domains the augmented
+            # file doesn't cover (possible for tiny subsamples)
+            fa_batcher = aug_batcher if len(aug_batcher.domain_indices[d]) \
+                else train_batcher
             for z in range(n_cand):
-                tmp_mask = ms.generate_mask(
+                masks_np.append(ms.generate_mask(
                     "mask_max_gate", d,
                     init_active_percent=self.init_active_percent,
-                    random_modify_sigma=self.random_modify_sigma)
-                fparams, fstate = self._restore(snap)
-                fast_opt_state = hybrid_init(
-                    self.fast_optimizer, fparams,
-                    moments_dtype=self.config.table_moments_dtype)
+                    random_modify_sigma=self.random_modify_sigma))
+                fa_all.append([fa_batcher.next_batch(d)
+                               for _ in range(cfg.regroup_update_step)])
+                probe_all.append([train_batcher.next_batch(d)
+                                  for _ in range(cfg.regroup_eval_step)])
                 rng, srng = jax.random.split(rng)
-                # fall back to original train data for domains the augmented
-                # file doesn't cover (possible for tiny subsamples)
-                fa_batcher = aug_batcher if len(aug_batcher.domain_indices[d]) \
-                    else train_batcher
-                from aread_tpu.train.trainer import batch_fits_kernel
-                for s in range(cfg.regroup_update_step):
-                    batch_np = fa_batcher.next_batch(d)
-                    fits = cfg.sparse_table_grad and self.mesh is None and \
-                        batch_fits_kernel(self.model.spec,
-                                          self.model.embed_dim,
-                                          batch_np["x"])
-                    batch = self._place(batch_np)
-                    srng, step_rng = jax.random.split(srng)
-                    fparams, fstate, fast_opt_state, loss, gms = fns["fast_step"](
-                        fparams, fstate, fast_opt_state, batch,
-                        _to_device_mask(tmp_mask), step_rng, fits)
-                    ms.record_tmp_gates([np.asarray(g) for g in gms], tmp_mask)
-                    tmp_mask = ms.prun_single_mask(d, tmp_mask, prun_ratio=0.05)
-                ms.candidate_domain_mask[d].append(tmp_mask)
-                # all eval probes in one dispatch + one host fetch (each
-                # scalar fetch costs a 30-70 ms tunnel round trip)
-                probe_batches = [train_batcher.next_batch(d)
-                                 for _ in range(cfg.regroup_eval_step)]
-                stacked = self._place_stacked(
-                    {k: np.stack([b[k] for b in probe_batches])
-                     for k in probe_batches[0]})
-                probe_losses = np.asarray(fns["eval_loss_multi"](
-                    fparams, fstate, stacked, _to_device_mask(tmp_mask)))
-                for loss in probe_losses:
-                    ms.add_eval_loss(float(loss), d=d, mask_z=z)
+                keys.append(np.asarray(srng))
+                cand_index.append((d, z))
+
+        masks0 = tuple(
+            jnp.asarray(np.stack([np.asarray(m[li]) for m in masks_np]))
+            for li in range(len(masks_np[0])))
+        fa_stacked = self._place_stacked(
+            {k: np.stack([[b[k] for b in cand] for cand in fa_all])
+             for k in fa_all[0][0]}, batch_axis=2)
+        probe_stacked = self._place_stacked(
+            {k: np.stack([[b[k] for b in cand] for cand in probe_all])
+             for k in probe_all[0][0]}, batch_axis=2)
+        fits = cfg.sparse_table_grad and self.mesh is None and \
+            batch_fits_kernel(
+                self.model.spec, self.model.embed_dim,
+                np.stack([[b["x"] for b in cand] for cand in fa_all]))
+        out_masks, out_losses = fns["fast_adapt_many"](
+            snap[0], snap[1], masks0, fa_stacked, probe_stacked,
+            jnp.asarray(np.stack(keys)), fits)
+        out_masks = [np.asarray(m) for m in out_masks]
+        out_losses = np.asarray(out_losses)
+        for i, (d, z) in enumerate(cand_index):
+            ms.candidate_domain_mask[d].append(
+                [lvl[i] for lvl in out_masks])
+            for loss in out_losses[i]:
+                ms.add_eval_loss(float(loss), d=d, mask_z=z)
         ms.update_all_mask()
         if verbose:
             print(f"mask evolution took {time.time() - t0:.1f}s; "

@@ -169,23 +169,28 @@ def embedding_flat_ids(spec, x) -> jnp.ndarray:
 
 
 def batch_fits_kernel(spec, embed_dim: int, x_np) -> bool:
-    """Host-side mirror of embedding_flat_ids + rows_fit_kernel: True when
-    this batch's (or stacked chunk's) ids fit the sparse-Adam kernel's
-    PAD_W window, allowing the no-cond fast dispatch (the lax.cond
-    fallback costs ~1.26 ms/step in table copies). Only meaningful on the
-    TPU backend — returns False elsewhere so the safe variant is the one
+    """Host-side overflow precheck for the no-cond fast dispatch (the
+    lax.cond fallback costs ~1.26 ms/step in table copies). ``x_np`` is a
+    single batch [bs, F] or any stack of batches [..., bs, F]; the
+    kernel's PAD_W predicate is evaluated PER STEP (per batch), matching
+    pack_meta's per-dispatch overflow flag. Only meaningful on the TPU
+    backend — returns False elsewhere so the safe variant is the one
     (and only) compilation."""
     if jax.default_backend() != "tpu":
         return False
     from aread_tpu.ops.embedding import compute_offsets
-    from aread_tpu.ops.sparse_adam import rows_fit_kernel
+    from aread_tpu.ops.sparse_adam import steps_fit_kernel
 
     offsets = np.asarray(compute_offsets(
         spec.one_hot_dims, spec.n_seq_fields * spec.seq_maxlen,
         spec.itemid_idx))
     n_rows = int(np.sum(spec.one_hot_dims))
-    ids = np.clip(np.asarray(x_np) + offsets, 0, n_rows - 1)
-    return rows_fit_kernel(ids, n_rows, embed_dim)
+    x = np.asarray(x_np)
+    ids = np.clip(x + offsets, 0, n_rows - 1)
+    if ids.ndim == 2:
+        ids = ids[None]
+    return steps_fit_kernel(ids.reshape(-1, ids.shape[-2] * ids.shape[-1]),
+                            n_rows, embed_dim)
 
 
 def perturbation_zeros(spec, x, embed_dim: int) -> Dict:

@@ -90,6 +90,70 @@ def has_output(mask: Mask) -> bool:
     return bool(mask[-1].any())
 
 
+def validate_mask_jax(mask):
+    """Device-side validate_mask on a tuple of bool jnp arrays: identical
+    fixpoint as the host worklist (the removal operator is monotone, so
+    processing order does not change the result; sweeps are bounded by the
+    total tower count). Used inside the fused fast-adapt scan
+    (train/hemp.py) so HEMP candidate pruning never leaves the device."""
+    import jax
+    import jax.numpy as jnp
+
+    m = list(mask)
+    n_level = len(m) - 1
+    # add input edges for live level-0 towers (aread.py:573-576)
+    m[0] = m[0] | m[1].any(axis=1)[None, :]
+    # add output edges for live leaves (aread.py:578-581)
+    m[-1] = m[-1] | m[-2].any(axis=0)[:, None]
+
+    def sweep(_, mm):
+        mm = list(mm)
+        for l in range(1, n_level):
+            has_in = mm[l].any(axis=0)           # [T_l]
+            mm[l + 1] = mm[l + 1] & has_in[:, None]
+            has_out = mm[l + 1].any(axis=1)      # [T_l]
+            mm[l] = mm[l] & has_out[None, :]
+        return tuple(mm)
+
+    total = sum(int(x.shape[1]) for x in m[:-1])
+    return jax.lax.fori_loop(0, total, sweep, tuple(m))
+
+
+def prune_mask_jax(mask, gate_means, prun_ratio: float = 0.05):
+    """Device-side prun_single_mask (aread.py:357-381): threshold the
+    step's masked gate values at quantile(prun_ratio) over positive
+    entries (np.quantile 'linear' semantics), AND into the hidden-level
+    masks, validate, revert if the output dies or no positive gate value
+    exists anywhere."""
+    import jax
+    import jax.numpy as jnp
+
+    threshold = jnp.float32(jnp.inf)
+    any_pos = jnp.bool_(False)
+    for gv in gate_means:
+        flat = jnp.sort(gv.reshape(-1))          # non-positives first
+        n = flat.shape[0]
+        npos = jnp.sum(flat > 1e-8)
+        any_pos = any_pos | (npos > 0)
+        start = n - npos
+        q = prun_ratio * (npos - 1).astype(jnp.float32)
+        lo = jnp.clip(jnp.floor(q).astype(jnp.int32), 0, n - 1)
+        frac = q - lo.astype(jnp.float32)
+        a = flat[jnp.clip(start + lo, 0, n - 1)]
+        b = flat[jnp.clip(start + lo + 1, 0, n - 1)]
+        lvl = jnp.where(npos > 0,
+                        jnp.where(lo + 1 < npos, a * (1 - frac) + b * frac, a),
+                        jnp.float32(jnp.inf))
+        threshold = jnp.minimum(threshold, lvl)
+
+    new = list(mask)
+    for li, gv in enumerate(gate_means):
+        new[li + 1] = new[li + 1] & (gv >= threshold)
+    valid = validate_mask_jax(tuple(new))
+    keep = any_pos & valid[-1].any()
+    return tuple(jnp.where(keep, v, o) for v, o in zip(valid, mask))
+
+
 def cluster_domain_masks(cluster_z: np.ndarray, n_tower: Sequence[int],
                          n_domain: int):
     """Initialize per-domain masks from a hierarchical-clustering linkage

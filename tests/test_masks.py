@@ -149,3 +149,58 @@ def test_cluster_domain_masks_short_linkage_raises():
 
     with np.testing.assert_raises(ValueError):
         cluster_domain_masks(np.zeros((1, 4)), (2, 4), n_domain=8)
+
+
+def test_validate_mask_jax_matches_host():
+    import jax.numpy as jnp
+    from aread_tpu.utils.masks import validate_mask, validate_mask_jax
+
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        mask = [rng.random(s) < 0.4 for s in mask_shapes((3, 6, 12))]
+        host = validate_mask(mask)
+        dev = validate_mask_jax(tuple(jnp.asarray(m) for m in mask))
+        for h, d in zip(host, dev):
+            np.testing.assert_array_equal(h, np.asarray(d))
+
+
+def test_prune_mask_jax_matches_host():
+    import jax.numpy as jnp
+    from aread_tpu.utils.masks import HempMaskState, prune_mask_jax
+
+    rng = np.random.default_rng(6)
+    n_tower = (3, 6, 12)
+    shapes = mask_shapes(n_tower)
+    for trial in range(20):
+        mask = [np.ones(s, bool) for s in shapes]
+        for m in mask[1:-1]:
+            m &= rng.random(m.shape) < 0.8
+        # gates masked like the forward: positive on active edges
+        gates = [np.where(mask[li + 1],
+                          rng.random(mask[li + 1].shape).astype(np.float32)
+                          + 1e-3, 0.0).astype(np.float32)
+                 for li in range(len(n_tower) - 1)]
+        ms = HempMaskState(n_tower, 1, seed=trial)
+        ms.record_tmp_gates(gates, mask)
+        host = ms.prun_single_mask(0, mask, prun_ratio=0.05)
+        dev = prune_mask_jax(tuple(jnp.asarray(m) for m in mask),
+                             tuple(jnp.asarray(g) for g in gates),
+                             prun_ratio=0.05)
+        for h, d in zip(host, dev):
+            np.testing.assert_array_equal(np.asarray(h), np.asarray(d))
+
+
+def test_prune_mask_jax_reverts_when_output_dies():
+    import jax.numpy as jnp
+    from aread_tpu.utils.masks import prune_mask_jax
+
+    n_tower = (2, 4)
+    shapes = mask_shapes(n_tower)
+    mask = [np.ones(s, bool) for s in shapes]
+    # all gates equal -> threshold == value -> kept; zero gates -> revert
+    gates = [np.zeros(mask[li + 1].shape, np.float32)
+             for li in range(len(n_tower) - 1)]
+    dev = prune_mask_jax(tuple(jnp.asarray(m) for m in mask),
+                         tuple(jnp.asarray(g) for g in gates))
+    for m, d in zip(mask, dev):
+        np.testing.assert_array_equal(m, np.asarray(d))

@@ -359,3 +359,28 @@ def test_bf16_moments_hybrid_init_and_step():
     t0, _ = split_table(params)
     t1, _ = split_table(new_params)
     assert not np.array_equal(np.asarray(t0), np.asarray(t1))
+
+
+def test_steps_fit_kernel_is_per_step():
+    """A chunk whose every STEP fits must pass even when the union of all
+    steps' ids would overflow a block (the bug this fixed: chunk-pooled
+    checks reported 'unfit' for every realistic scan chunk)."""
+    from aread_tpu.ops.pallas.sparse_adam_kernel import (BLOCK_F, LANES,
+                                                         PAD_W)
+    from aread_tpu.ops.sparse_adam import rows_fit_kernel, steps_fit_kernel
+
+    d = 8
+    rpf = LANES // d
+    n_rows = BLOCK_F * rpf * 2  # 2 blocks
+    # each step touches PAD_W distinct flat rows of block 0 (exactly at
+    # the limit); different rows per step so the union overflows
+    S = 4
+    ids = np.stack([
+        (np.arange(PAD_W) * rpf + s * PAD_W * rpf) % (BLOCK_F * rpf)
+        for s in range(S)])
+    assert steps_fit_kernel(ids, n_rows, d)          # per-step: fits
+    assert not rows_fit_kernel(ids, n_rows, d)       # union: overflows
+
+    # one overflowing step fails the whole chunk
+    bad = (np.arange(PAD_W + 1) * rpf)[None]
+    assert not steps_fit_kernel(bad, n_rows, d)
