@@ -43,13 +43,15 @@ def _adam_kernel(scal_ref, w_ref, m_ref, v_ref, g_ref, ow_ref, om_ref, ov_ref):
     b2corr = scal_ref[6]     # 1 - b2^t
     w = w_ref[:]
     g = g_ref[:] + decay * w
-    m = b1 * m_ref[:] + (1.0 - b1) * g
-    v = b2 * v_ref[:] + (1.0 - b2) * g * g
+    # moments may be stored bf16 (config.table_moments_dtype); f32 compute,
+    # no-op astypes for f32 storage
+    m = b1 * m_ref[:].astype(jnp.float32) + (1.0 - b1) * g
+    v = b2 * v_ref[:].astype(jnp.float32) + (1.0 - b2) * g * g
     mhat = m / b1corr
     vhat = v / b2corr
     ow_ref[:] = w - lr * mhat / (jnp.sqrt(vhat) + eps)
-    om_ref[:] = m
-    ov_ref[:] = v
+    om_ref[:] = m.astype(om_ref.dtype)
+    ov_ref[:] = v.astype(ov_ref.dtype)
 
 
 def default_interpret() -> bool:
@@ -78,7 +80,7 @@ def fused_adam_update(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
     def flat(x):
         x = x.reshape(-1)
         if pad:
-            x = jnp.concatenate([x, jnp.zeros((pad,), dtype)])
+            x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
         return x.reshape(rows, cols)
 
     wf, mf, vf, gf = flat(w), flat(m), flat(v), flat(g)
@@ -100,7 +102,9 @@ def fused_adam_update(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec, spec, spec, spec],
         out_specs=(spec, spec, spec),
-        out_shape=(jax.ShapeDtypeStruct((rows, cols), dtype),) * 3,
+        out_shape=(jax.ShapeDtypeStruct((rows, cols), dtype),
+                   jax.ShapeDtypeStruct((rows, cols), m.dtype),
+                   jax.ShapeDtypeStruct((rows, cols), v.dtype)),
         input_output_aliases={1: 0, 2: 1, 3: 2},  # w,m,v updated in place
         interpret=interpret,
     )(scalars, wf, mf, vf, gf)

@@ -171,11 +171,14 @@ def rows_fit_kernel(row_ids, n_rows: int, d: int) -> bool:
     rpf = sak.LANES // d
     n_flat = (n_rows * d) // sak.LANES
     grid = -(-n_flat // sak.BLOCK_F)
-    # presence bitmap instead of np.unique: O(K + n_flat), ~1 ms at
-    # chunk scale vs ~20 ms for a 557k-element sort
-    present = np.zeros(grid * sak.BLOCK_F, bool)
-    present[np.asarray(row_ids).reshape(-1) // rpf] = True
-    counts = present.reshape(grid, sak.BLOCK_F).sum(axis=1)
+    # the kernel's PAD_W window holds one sorted entry per unique TABLE
+    # row (pack_meta bounds are over the deduped uids, which repeat per
+    # flat row) — so count distinct table rows per block, NOT distinct
+    # flat rows. Presence bitmap: O(K + n_rows), ~1 ms at chunk scale.
+    rows_per_block = sak.BLOCK_F * rpf
+    present = np.zeros(grid * rows_per_block, bool)
+    present[np.asarray(row_ids).reshape(-1)] = True
+    counts = present.reshape(grid, rows_per_block).sum(axis=1)
     return int(counts.max(initial=0)) <= sak.PAD_W
 
 
@@ -197,11 +200,14 @@ def steps_fit_kernel(row_ids_2d, n_rows: int, d: int) -> bool:
     rpf = sak.LANES // d
     n_flat = (n_rows * d) // sak.LANES
     grid = -(-n_flat // sak.BLOCK_F)
-    fid = np.sort(ids // rpf, axis=1)                    # [S, K]
-    new = np.ones(fid.shape, bool)
-    new[:, 1:] = fid[:, 1:] != fid[:, :-1]
-    blk = fid // sak.BLOCK_F
-    S = fid.shape[0]
+    # distinct TABLE rows per (step, block) — matching pack_meta's bounds
+    # over the deduped uids (NOT distinct flat rows: uids sharing a flat
+    # row occupy separate window entries)
+    sid = np.sort(ids, axis=1)                           # [S, K]
+    new = np.ones(sid.shape, bool)
+    new[:, 1:] = sid[:, 1:] != sid[:, :-1]
+    blk = (sid // rpf) // sak.BLOCK_F
+    S = sid.shape[0]
     key = (np.arange(S)[:, None] * grid + blk)[new]
     counts = np.bincount(key, minlength=S * grid)
     return int(counts.max(initial=0)) <= sak.PAD_W

@@ -41,18 +41,16 @@ def main():
 
     from aread_tpu.data.loader import dataset_columns, tensorize
 
-    cfg_ds = pred.model.spec
-    dataset_name = None
     import json
     import os
+    cfg_ds = pred.model.spec
     with open(os.path.join(args.ckpt, "meta.json")) as f:
-        dataset_name = json.load(f)["config"]["dataset_name"]
+        meta_cfg = json.load(f)["config"]
+    dataset_name = meta_cfg["dataset_name"]
     one_hot_cols, seq_cols, label_col = dataset_columns(dataset_name)
     df = pd.read_csv(args.input)
     if label_col not in df.columns:
         df[label_col] = 0
-    with open(os.path.join(args.ckpt, "meta.json")) as f:
-        meta_cfg = json.load(f)["config"]
     # seq pad id: amazon uses the global itemid_all (run.py:249); other
     # datasets' loader pads with the last itemid row
     pad_id = (meta_cfg.get("itemid_all")

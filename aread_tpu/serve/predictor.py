@@ -61,14 +61,14 @@ class Predictor:
 
         if self.is_aread:
             from aread_tpu.models.aread import full_mask
-            if self.domain_mask is not None:
-                masks = self.domain_mask
-                fallback = [np.ones_like(np.asarray(m)) for m in
-                            next(m for m in masks if m is not None)]
-                masks = [fallback if m is None else m for m in masks]
+            fm = [np.asarray(m, bool) for m in full_mask(model.n_tower)]
+            if self.domain_mask is not None and \
+                    any(m is not None for m in self.domain_mask):
+                # domains without an evolved mask serve through the full
+                # (all-edges) mask, like pre-evolution training
+                masks = [fm if m is None else m for m in self.domain_mask]
             else:
-                fm = full_mask(model.n_tower)
-                masks = [list(fm)] * self.n_domain
+                masks = [fm] * self.n_domain
             # all domains' masks stacked: [n_domain, T_prev, T] per level
             self._stacked_masks = tuple(
                 jnp.asarray(np.stack([np.asarray(masks[d][li], bool)

@@ -67,11 +67,20 @@ def save_checkpoint(path: str, params, state, opt_state,
         tree["rng_key"] = np.asarray(rng_key)
     if domain_mask is not None:
         tree["domain_mask"] = _mask_to_flat(domain_mask)
+    # crash-safe write (a crash mid-save is exactly what elastic recovery
+    # exists for): save arrays into a tmp sibling, then atomically swap it
+    # in; meta.json is written LAST so a surviving meta always describes
+    # complete arrays
+    import shutil
     arrays_dir = os.path.join(path, "arrays")
-    if os.path.exists(arrays_dir):
-        import shutil
-        shutil.rmtree(arrays_dir)
-    ckptr.save(arrays_dir, tree)
+    tmp_dir = os.path.join(path, "arrays.tmp")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    ckptr.save(tmp_dir, tree)
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        os.unlink(meta_path)  # old meta must not describe swapped arrays
+    shutil.rmtree(arrays_dir, ignore_errors=True)
+    os.replace(tmp_dir, arrays_dir)
     meta = {"epoch": epoch}
     if n_domain is not None:
         meta["n_domain"] = int(n_domain)
@@ -92,8 +101,9 @@ def save_checkpoint(path: str, params, state, opt_state,
             for k, v in dataclasses.asdict(run_config).items()
             if isinstance(v, (int, float, str, bool, tuple, list,
                               type(None)))}
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    with open(meta_path + ".tmp", "w") as f:
         json.dump(meta, f)
+    os.replace(meta_path + ".tmp", meta_path)
 
 
 def mask_template(n_tower, n_domain: int) -> Dict[str, np.ndarray]:

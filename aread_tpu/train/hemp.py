@@ -3,18 +3,23 @@ per-domain masked evaluation (reference Run.train_aread run.py:578-686 and
 Run.test's AREAD branch run.py:718-727).
 
 Host/device split (the reference mutates module state mid-step; here):
-  * all mask logic (generate / validate / prune / select) is numpy on host
-    (aread_tpu.utils.masks) — masks are tiny;
-  * three jitted device functions: a bagging train step (used for both the
-    main optimizer and the per-candidate fresh fast Adam), a no-grad eval
-    loss probe, and an eval prob step. Masks are runtime bool arrays with
-    static shapes, so the whole HEMP evolution loop never recompiles;
-  * parameter snapshot/restore around candidate fast-adaptation is a host
-    pytree copy (reference save_model_state/load_model_state,
-    aread.py:534-546). Deviation (bug fix): the reference's regex snapshot
-    omits the MMoE experts/gates (aread.py:535 lists only the PLE
-    'cgc_layers'), silently leaking each candidate's fast-adapt updates
-    into the shared extractor; we snapshot the full (params, state).
+  * mask GENERATION and SELECTION are numpy on host (aread_tpu.utils.
+    masks) — masks are tiny; mask PRUNING during fast adaptation runs on
+    device (utils.masks.prune_mask_jax, bit-identical to the host
+    worklist) so a whole HEMP regroup (domains x candidates: fresh fast
+    Adam from the snapshot + update steps with progressive pruning + eval
+    probes) executes as ONE device dispatch (fast_adapt_many);
+  * regular training runs as scan-chunked bagging steps. Masks are
+    runtime bool arrays with static shapes, so mask evolution never
+    recompiles (except when int(candidate_mask_num) decays to a new
+    value, which changes the lax.map width);
+  * parameter snapshot/restore around candidate fast-adaptation is a
+    device-resident pytree copy (reference save_model_state/
+    load_model_state, aread.py:534-546). Deviation (bug fix): the
+    reference's regex snapshot omits the MMoE experts/gates (aread.py:535
+    lists only the PLE 'cgc_layers'), silently leaking each candidate's
+    fast-adapt updates into the shared extractor; we snapshot the full
+    (params, state).
 """
 
 from __future__ import annotations
@@ -396,13 +401,13 @@ class AREADTrainer:
             minutes). Flagged per-step gate means are recorded after."""
             from aread_tpu.train.trainer import batch_fits_kernel
             spec, ed = self.model.spec, self.model.embed_dim
+            not_lazy = cfg.table_optimizer != "lazy_adam"
             if len(pending) == self.SCAN_CHUNK:
-                xs = np.stack([p[1]["x"] for p in pending])
+                stacked_np = {k: np.stack([p[1][k] for p in pending])
+                              for k in pending[0][1]}
                 fits = cfg.sparse_table_grad and self.mesh is None and \
-                    batch_fits_kernel(spec, ed, xs)
-                batches = self._place_stacked(
-                    {k: np.stack([p[1][k] for p in pending])
-                     for k in pending[0][1]})
+                    not_lazy and batch_fits_kernel(spec, ed, stacked_np["x"])
+                batches = self._place_stacked(stacked_np)
                 dms = tuple(jnp.asarray(np.stack([np.asarray(p[2][l]) for p in pending]))
                             for l in range(len(pending[0][2])))
                 n_ex = int(sum(p[1]["valid"].sum() for p in pending))
@@ -417,7 +422,7 @@ class AREADTrainer:
                 return params, state, opt_state, rng
             for d, batch_np, mask, record in pending:
                 fits = cfg.sparse_table_grad and self.mesh is None and \
-                    batch_fits_kernel(spec, ed, batch_np["x"])
+                    not_lazy and batch_fits_kernel(spec, ed, batch_np["x"])
                 batch = self._place(batch_np)
                 rng, srng = jax.random.split(rng)
                 with self.step_timer.step(n_examples=int(batch_np["valid"].sum())):
@@ -459,7 +464,7 @@ class AREADTrainer:
                             params, state, opt_state, rng, fns["main_scan"], fns["main_step"], pending)
                         pending = []
                     with profiling.annotate("hemp_mask_evolution"):
-                        params, state = self._mask_evolution(
+                        params, state, rng = self._mask_evolution(
                             params, state, train_batcher, aug_batcher, rng, verbose)
                 record = ((i + 1) // regroup_interval
                           - (i + 1 + warm_up_interval) // regroup_interval) > 0
@@ -595,7 +600,10 @@ class AREADTrainer:
             print(f"mask evolution took {time.time() - t0:.1f}s; "
                   f"active ratio {ms.current_active_ratio():.3f}")
         ms.reset_for_mask_update()
-        return self._restore(snap)
+        # return the ADVANCED rng: the per-candidate splits above must not
+        # be replayed by the caller's subsequent training steps
+        params, state = self._restore(snap)
+        return params, state, rng
 
     # ---------------------------------------------------------------- eval
     def evaluate(self, params, state, batcher: DomainBatcher,

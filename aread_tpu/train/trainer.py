@@ -482,11 +482,12 @@ class Trainer:
         pending: list = []
 
         def flush_chunk(params, state, opt_state, rng, chunk):
-            xs = np.stack([b["x"] for b in chunk])
+            stacked_np = {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
             fits = self.config.sparse_table_grad and self.mesh is None and \
-                batch_fits_kernel(self.model.spec, self.model.embed_dim, xs)
-            stacked = self._place_stacked(
-                {k: np.stack([b[k] for b in chunk]) for k in chunk[0]})
+                self.config.table_optimizer != "lazy_adam" and \
+                batch_fits_kernel(self.model.spec, self.model.embed_dim,
+                                  stacked_np["x"])
+            stacked = self._place_stacked(stacked_np)
             n_ex = int(sum(b["valid"].sum() for b in chunk))
             with self.step_timer.step(n_examples=n_ex):
                 params, state, opt_state, rng, ls = self._train_scan(

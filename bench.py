@@ -79,7 +79,6 @@ def main():
         lambda r, xx: model.init({"params": r, "dropout": r}, xx, mode="wo_mask")
     )(jax.random.PRNGKey(0), x)
     params, state = split_variables(variables)
-    import os
     optimizer = make_optimizer(1e-3)
     # AREAD_TPU_BENCH_MOMENTS=bfloat16: measure config.table_moments_dtype
     # ='bfloat16' (bf16 moment storage, f32 compute)
@@ -101,7 +100,7 @@ def main():
     lazy = bool(int(os.environ.get("AREAD_TPU_BENCH_LAZY", "0")))
     # host-checked no-cond fast dispatch, exactly as the trainers do it
     from aread_tpu.train.trainer import batch_fits_kernel
-    fits = batch_fits_kernel(spec, embed_dim, np.asarray(x))
+    fits = not lazy and batch_fits_kernel(spec, embed_dim, np.asarray(x))
 
     def one_step(carry, rng):
         # sparse-table-grad step, exactly what the trainers run

@@ -384,3 +384,36 @@ def test_steps_fit_kernel_is_per_step():
     # one overflowing step fails the whole chunk
     bad = (np.arange(PAD_W + 1) * rpf)[None]
     assert not steps_fit_kernel(bad, n_rows, d)
+
+
+def test_fit_checks_agree_with_pack_meta_overflow():
+    """The host prechecks must never pass a batch the kernel's PAD_W
+    window cannot hold: pack_meta counts unique TABLE rows per block (the
+    deduped uids each take a window entry, several per 128-lane flat
+    row), so contiguous small-vocab ids overflow far before the distinct
+    flat-row count does (the bug this guards against)."""
+    from aread_tpu.ops.pallas.sparse_adam_kernel import PAD_W, pack_meta
+    from aread_tpu.ops.sparse_adam import (dedup_rows, rows_fit_kernel,
+                                           steps_fit_kernel)
+
+    d = 8  # rpf = 16
+    rpf = 128 // d
+    n_rows = 4096 * rpf * 2
+
+    def device_overflow(ids):
+        uids, gsum = dedup_rows(jnp.asarray(ids, jnp.int32),
+                                jnp.zeros((len(ids), d)), n_rows)
+        return bool(pack_meta(uids, gsum, n_rows, d)[3])
+
+    # contiguous table rows: only PAD_W//rpf+ flat rows but > PAD_W
+    # window entries -> device overflows, host must agree
+    contiguous = np.arange(PAD_W + 8)
+    assert device_overflow(contiguous)
+    assert not rows_fit_kernel(contiguous, n_rows, d)
+    assert not steps_fit_kernel(contiguous[None], n_rows, d)
+
+    # spread rows (one per flat row): fits on both sides
+    spread = np.arange(PAD_W - 8) * rpf
+    assert not device_overflow(spread)
+    assert rows_fit_kernel(spread, n_rows, d)
+    assert steps_fit_kernel(spread[None], n_rows, d)
