@@ -26,6 +26,10 @@ def load_config() -> Config:
     parser.add_argument("--dataset_name", default="aliccp")
     parser.add_argument("--base_model", default="mmoe")
     parser.add_argument("--seed", type=int, default=2000)
+    parser.add_argument("--is_set_seed", type=int, default=1,
+                        help="0: derive a unique seed from the argument "
+                             "set instead of --seed (reference "
+                             "main.py:40-44)")
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--bs", type=int, default=1024)
     parser.add_argument("--epoch", type=int, default=10)
@@ -96,6 +100,15 @@ def load_config() -> Config:
                              "[n_domain, auc_bins] histograms reach host)")
     parser.add_argument("--auc_bins", type=int, default=16384)
     args = parser.parse_args()
+
+    if args.is_set_seed == 0:
+        # unique seed derived from the full argument set (main.py:40-44;
+        # hashlib instead of hash() so it is stable across processes —
+        # python randomizes str hashes per run)
+        import hashlib
+        digest = hashlib.sha1(repr(sorted(vars(args).items())).encode())
+        args.seed = int(digest.hexdigest(), 16) % 10000
+        print("set args.seed:", args.seed)
 
     cfg_fields = {f.name for f in dataclasses.fields(Config)}
     kwargs = {k: v for k, v in vars(args).items() if k in cfg_fields}
