@@ -414,11 +414,16 @@ class AREADTrainer:
                 with self.step_timer.step(n_examples=n_ex):
                     params, state, opt_state, rng, ls, gms = scan_fn(
                         params, state, opt_state, batches, dms, rng, fits)
-                losses.extend(np.asarray(ls).tolist())
-                gms_np = [np.asarray(g) for g in gms]  # each [S, T_prev, T_l]
-                for i, (d, _, _, record) in enumerate(pending):
-                    if record:
-                        ms.record_gates(d, [g[i] for g in gms_np])
+                losses.append(ls)  # device [S]; fetched once at epoch end
+                if any(p[3] for p in pending):
+                    # gate means are only needed on host for the recording
+                    # window right before a regroup; fetching them every
+                    # chunk would block the host on device completion and
+                    # kill staging/compute overlap
+                    gms_np = [np.asarray(g) for g in gms]  # [S, T_prev, T_l]
+                    for i, (d, _, _, record) in enumerate(pending):
+                        if record:
+                            ms.record_gates(d, [g[i] for g in gms_np])
                 return params, state, opt_state, rng
             for d, batch_np, mask, record in pending:
                 fits = cfg.sparse_table_grad and self.mesh is None and \
@@ -429,7 +434,7 @@ class AREADTrainer:
                     params, state, opt_state, loss, gms = step_fn(
                         params, state, opt_state, batch, _to_device_mask(mask),
                         srng, fits)
-                losses.append(float(loss))
+                losses.append(loss)  # device scalar; fetched at epoch end
                 if record:
                     ms.record_gates(d, [np.asarray(g) for g in gms])
             return params, state, opt_state, rng
@@ -477,7 +482,8 @@ class AREADTrainer:
             if pending:
                 params, state, opt_state, rng = flush(
                     params, state, opt_state, rng, fns["main_scan"], fns["main_step"], pending)
-        return params, state, opt_state, rng, float(np.mean(losses)) if losses else np.nan
+        from aread_tpu.train.trainer import mean_losses
+        return params, state, opt_state, rng, mean_losses(losses)
 
     def train_final_epoch(self, params, state, opt_state, epoch_i: int,
                           train_batcher: DomainBatcher, rng,
@@ -505,7 +511,7 @@ class AREADTrainer:
                 with self.step_timer.step(n_examples=n_ex):
                     params, state, opt_state, rng, ls, _ = fns["final_scan"](
                         params, state, opt_state, batches, dms, rng)
-                losses.extend(np.asarray(ls).tolist())
+                losses.append(ls)  # device [S]; fetched once at epoch end
                 return params, state, opt_state, rng
             for d, batch_np, mask in pending:
                 batch = self._place(batch_np)
@@ -513,7 +519,7 @@ class AREADTrainer:
                 with self.step_timer.step(n_examples=int(batch_np["valid"].sum())):
                     params, state, opt_state, loss, _ = fns["final_step"](
                         params, state, opt_state, batch, _to_device_mask(mask), srng)
-                losses.append(float(loss))
+                losses.append(loss)  # device scalar
             return params, state, opt_state, rng
 
         for d in seq:
@@ -524,8 +530,8 @@ class AREADTrainer:
                 pending = []
         if pending:
             params, state, opt_state, rng = flush(params, state, opt_state, rng, pending)
-        return params, state, opt_state, rng, \
-            float(np.mean(losses)) if losses else np.nan
+        from aread_tpu.train.trainer import mean_losses
+        return params, state, opt_state, rng, mean_losses(losses)
 
     def _mask_evolution(self, params, state, train_batcher: DomainBatcher,
                         aug_batcher: DomainBatcher, rng, verbose: bool = True):

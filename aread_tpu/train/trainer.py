@@ -46,6 +46,18 @@ def masked_mean(values, valid):
     return jnp.sum(values * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
+def mean_losses(losses) -> float:
+    """Mean over a mixed list of device scalars and [S] device/numpy loss
+    arrays. The epoch loops accumulate UN-FETCHED device values — fetching
+    per chunk would block the host on device completion and serialize
+    batch staging with compute (each fetch is a 30-70 ms round trip over
+    this image's TPU tunnel) — and materialize them all here, once."""
+    if not losses:
+        return float("nan")
+    return float(np.mean(
+        np.concatenate([np.atleast_1d(np.asarray(l)) for l in losses])))
+
+
 def make_optimizer(lr: float, wd: float = 1e-8) -> optax.GradientTransformation:
     """torch.optim.Adam(lr, betas=(0.9,0.99), eps=1e-8, weight_decay=wd):
     torch applies weight decay additively to the gradient BEFORE the moment
@@ -492,7 +504,7 @@ class Trainer:
             with self.step_timer.step(n_examples=n_ex):
                 params, state, opt_state, rng, ls = self._train_scan(
                     params, state, opt_state, stacked, rng, fits)
-            losses.extend(np.asarray(ls).tolist())
+            losses.append(ls)  # device [S]; fetched once at epoch end
             return params, state, opt_state, rng
 
         with profiling.trace():  # no-op unless AREAD_TPU_TRACE is set
@@ -514,8 +526,7 @@ class Trainer:
                     params, state, opt_state, loss = self._train_step(
                         params, state, opt_state, jb, step_rng, fits)
                 losses.append(loss)
-        mean_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
-        return params, state, opt_state, rng, mean_loss
+        return params, state, opt_state, rng, mean_losses(losses)
 
     def evaluate(self, params, state, x: np.ndarray, y: np.ndarray,
                  domain_cnt_weight: np.ndarray) -> Dict:
