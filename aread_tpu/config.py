@@ -156,6 +156,15 @@ class Config:
     # grads taken w.r.t. the gathered rows (flax perturb tap) + 2-phase
     # sparse Adam — bit-identical to dense torch-Adam, skips the dense
     # [n_rows, E] cotangent (ops/sparse_adam.py)
+    # device-resident training data: the train split is transferred to HBM
+    # ONCE and each epoch runs as a single on-device lax.scan that gathers
+    # its batches by a device-resident permutation — no per-chunk host
+    # staging/stacking, no per-chunk transfers (only the [n_batches, bs]
+    # int32 permutation crosses the tunnel per epoch). Numerically
+    # identical to the host-staged path (same shuffle stream, same RNG
+    # chain, same padded-batch semantics). 'auto' enables it on single-
+    # host runs when the split fits the HBM budget; '1'/'0' force.
+    device_data: str = "auto"  # 'auto' | '1' | '0'
     streaming_eval: bool = False  # device-resident histogram AUC (scales
     # across the mesh; only [n_domain, auc_bins] histograms reach the host)
     auc_bins: int = 16384

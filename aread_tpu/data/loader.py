@@ -285,10 +285,28 @@ class GlobalBatcher:
     def __len__(self):
         return int(np.ceil(self.x.shape[0] / self.bs))
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch_indices(self) -> np.ndarray:
+        """One epoch's (shuffled) row order — the same stream __iter__
+        consumes, exposed so the device-resident epoch path (trainer
+        train_epoch_device) draws identical permutations from the shared
+        rng state."""
         idx = np.arange(self.x.shape[0])
         if self.shuffle:
             self.rng.shuffle(idx)
+        return idx
+
+    def epoch_perm(self) -> np.ndarray:
+        """epoch_indices padded with -1 to whole batches and reshaped to
+        [n_batches, bs] — the device-resident scan's batch schedule."""
+        idx = self.epoch_indices()
+        n_batches = -(-len(idx) // self.bs)
+        pad = n_batches * self.bs - len(idx)
+        if pad:
+            idx = np.concatenate([idx, np.full(pad, -1, idx.dtype)])
+        return idx.reshape(n_batches, self.bs).astype(np.int32)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self.epoch_indices()
         for i in range(0, len(idx), self.bs):
             sel = idx[i:i + self.bs]
             batch = pad_batch(self.x[sel], self.y[sel], self.bs)

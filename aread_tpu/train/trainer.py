@@ -294,6 +294,9 @@ class Trainer:
         self.optimizer = make_optimizer(config.lr, config.wd)
         self._train_step = None
         self._train_scan = None
+        self._epoch_scan = None
+        self._epoch_fits = None
+        self._device_data = None  # (dx, dy) HBM-resident train split
         self._eval_step = None
         self._eval_accum_step = None
         # early-stop state (reference run.py:99-103)
@@ -463,6 +466,47 @@ class Trainer:
 
         return train_scan
 
+    def _build_epoch_scan(self):
+        """ONE device dispatch per EPOCH over device-resident data.
+
+        The train split lives in HBM (placed once by fit); each scan step
+        gathers its batch rows by index from it. The only per-epoch
+        transfer is the [n_batches, bs] int32 permutation. Padded slots
+        carry -1 and replicate the batch's first row (exactly the host
+        path's pad_batch semantics, loader.py pad_batch), so the two paths
+        are numerically identical given the same shuffle stream and rng.
+        """
+        step_core = self._build_step_core()
+        domain_idx = self.model.spec.domain_idx
+        d2g = (None if self.domain2group is None
+               else jnp.asarray(self.domain2group, jnp.int32))
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=(7,))
+        def epoch_scan(params, state, opt_state, dx, dy, perm, rng,
+                       no_overflow=False):
+            def body(carry, idx):
+                params, state, opt_state, rng = carry
+                rng, srng = jax.random.split(rng)
+                valid = (idx >= 0).astype(jnp.float32)
+                # pad slots replicate the batch's first row (always valid:
+                # only the tail batch is ragged and padding is at its end)
+                gidx = jnp.where(idx < 0, idx[0], idx)
+                x = dx[gidx]
+                y = dy[gidx].astype(jnp.float32) * valid
+                batch = {"x": x, "y": y, "valid": valid,
+                         "domain": x[:, domain_idx].astype(jnp.int32)}
+                if d2g is not None:
+                    batch["group"] = d2g[batch["domain"]]
+                params, state, opt_state, loss = step_core(
+                    params, state, opt_state, batch, srng, no_overflow)
+                return (params, state, opt_state, rng), loss
+
+            (params, state, opt_state, rng), losses = jax.lax.scan(
+                body, (params, state, opt_state, rng), perm)
+            return params, state, opt_state, rng, losses
+
+        return epoch_scan
+
     def _build_eval_step(self):
         model = self.model
         is_multi_tower = self.is_multi_tower
@@ -527,6 +571,93 @@ class Trainer:
                         params, state, opt_state, jb, step_rng, fits)
                 losses.append(loss)
         return params, state, opt_state, rng, mean_losses(losses)
+
+    # HBM budget for the device-resident train split (v5e has 16 GB; the
+    # full Amazon split is ~1.2 GB of int32)
+    DEVICE_DATA_BUDGET = 4 * 2**30
+
+    def device_data_enabled(self, train_x: np.ndarray) -> bool:
+        cfg = self.config.device_data
+        if self.mesh is not None or cfg == "0":
+            return False
+        if cfg == "1":
+            return True
+        return train_x.nbytes <= self.DEVICE_DATA_BUDGET
+
+    def _build_epoch_fits(self):
+        """Jitted ON-DEVICE whole-epoch overflow precheck: every scan
+        step's batch must satisfy the kernel's PAD_W window (the exact
+        predicate of ops/sparse_adam.steps_fit_kernel — distinct TABLE
+        rows per flat block). The host numpy variant costs >1 s/epoch on
+        this image's 2 CPU cores at Amazon scale; on device it is a
+        sequence of tiny sorts and one scalar fetch."""
+        from aread_tpu.ops.embedding import compute_offsets
+        from aread_tpu.ops.pallas import sparse_adam_kernel as sak
+
+        spec, d = self.model.spec, self.model.embed_dim
+        n_rows = int(np.sum(spec.one_hot_dims))
+        offs = jnp.asarray(np.asarray(compute_offsets(
+            spec.one_hot_dims, spec.n_seq_fields * spec.seq_maxlen,
+            spec.itemid_idx)), jnp.int32)
+        rpf = sak.LANES // d
+        n_flat = (n_rows * d) // sak.LANES
+        grid = -(-n_flat // sak.BLOCK_F)
+
+        @jax.jit
+        def epoch_fits(dx, perm):
+            def body(ok, idx):
+                gidx = jnp.where(idx < 0, idx[0], idx)
+                ids = jnp.clip(dx[gidx] + offs[None, :], 0,
+                               n_rows - 1).reshape(-1)
+                sid = jnp.sort(ids)
+                new = jnp.concatenate(
+                    [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+                blk = (sid // rpf) // sak.BLOCK_F
+                counts = jax.ops.segment_sum(new.astype(jnp.int32), blk,
+                                             num_segments=grid)
+                return ok & (counts.max() <= sak.PAD_W), None
+
+            ok, _ = jax.lax.scan(body, jnp.bool_(True), perm)
+            return ok
+
+        return epoch_fits
+
+    def _epoch_fits_kernel(self, dx, perm_dev) -> bool:
+        """True iff the no-cond kernel dispatch is safe for EVERY step of
+        this epoch's schedule (``perm_dev``: device [n_batches, bs])."""
+        if not (self.config.sparse_table_grad and self.mesh is None
+                and self.config.table_optimizer != "lazy_adam"):
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        from aread_tpu.ops.pallas import sparse_adam_kernel as sak
+        if not sak.supports(int(np.sum(self.model.spec.one_hot_dims)),
+                            self.model.embed_dim):
+            return False
+        if self._epoch_fits is None:
+            self._epoch_fits = self._build_epoch_fits()
+        return bool(self._epoch_fits(dx, perm_dev))
+
+    def train_epoch_device(self, params, state, opt_state,
+                           batcher: GlobalBatcher, rng):
+        """train_epoch over the HBM-resident split: one dispatch per epoch
+        (see _build_epoch_scan). Numerically identical to train_epoch —
+        same shuffle stream (batcher.epoch_perm advances the shared rng),
+        same per-step rng chain, same padded-batch semantics."""
+        if self._epoch_scan is None:
+            self._epoch_scan = self._build_epoch_scan()
+        if self._device_data is None:
+            self._device_data = (jax.device_put(jnp.asarray(batcher.x)),
+                                 jax.device_put(jnp.asarray(batcher.y)))
+        dx, dy = self._device_data
+        perm = jax.device_put(jnp.asarray(batcher.epoch_perm()))
+        fits = self._epoch_fits_kernel(dx, perm)
+        n_ex = int(batcher.x.shape[0])
+        with profiling.trace():
+            with self.step_timer.step(n_examples=n_ex):
+                params, state, opt_state, rng, losses = self._epoch_scan(
+                    params, state, opt_state, dx, dy, perm, rng, fits)
+        return params, state, opt_state, rng, mean_losses([losses])
 
     def evaluate(self, params, state, x: np.ndarray, y: np.ndarray,
                  domain_cnt_weight: np.ndarray) -> Dict:
@@ -661,12 +792,18 @@ class Trainer:
         from aread_tpu.utils.runlog import RunLogger
         logger = RunLogger(cfg.log_dir or None, config=cfg)
 
+        device_data = self.device_data_enabled(data.train_x)
         history = []
         for epoch_i in range(start_epoch,
                              epochs if epochs is not None else cfg.epoch):
             t0 = time.time()
-            params, state, opt_state, rng, train_loss = self.train_epoch(
-                params, state, opt_state, batcher, rng)
+            if device_data:
+                params, state, opt_state, rng, train_loss = \
+                    self.train_epoch_device(params, state, opt_state,
+                                            batcher, rng)
+            else:
+                params, state, opt_state, rng, train_loss = self.train_epoch(
+                    params, state, opt_state, batcher, rng)
             result = self.evaluate(params, state, data.valid_x, data.valid_y,
                                    data.domain_cnt_weight)
             result["train_loss"] = train_loss

@@ -87,6 +87,30 @@ def main():
 
     print(f"overlap speedup: {t_sync / t_pipe:.2f}x")
 
+    # device-resident epoch (config.device_data): the split lives in HBM,
+    # the whole epoch is ONE dispatch; only the [n_batches, bs] int32
+    # permutation crosses the tunnel per epoch
+    from aread_tpu.data.loader import GlobalBatcher
+    all_x = np.concatenate([b["x"] for b in batches])
+    all_y = np.concatenate([b["y"] for b in batches])
+    batcher = GlobalBatcher(all_x, all_y, bs, spec.domain_idx, seed=0)
+
+    def run_epoch_device(params, state, opt_state, key, label):
+        t0 = time.perf_counter()
+        params, state, opt_state, key, loss = trainer.train_epoch_device(
+            params, state, opt_state, batcher, key)
+        dt = time.perf_counter() - t0
+        print(f"{label}: {dt*1e3:.0f} ms for {n_batches} steps "
+              f"({bs*n_batches/dt:,.0f} ex/s), loss={loss:.4f}")
+        return params, state, opt_state, key, dt
+
+    params, state, opt_state, key, _ = run_epoch_device(
+        params, state, opt_state, key, "device-resident warmup (compiles)")
+    params, state, opt_state, key, t_dev = run_epoch_device(
+        params, state, opt_state, key, "device-resident")
+    print(f"device-resident vs pipelined host staging: "
+          f"{t_pipe / t_dev:.2f}x")
+
 
 if __name__ == "__main__":
     main()

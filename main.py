@@ -95,6 +95,11 @@ def load_config() -> Config:
     parser.add_argument("--use_atten", type=int, default=1,
                         help="side AutoInt attention tower "
                              "(reference config.py:28)")
+    parser.add_argument("--device_data", default="auto",
+                        choices=("auto", "1", "0"),
+                        help="device-resident train split: one on-device "
+                             "scan per epoch, no per-chunk host staging "
+                             "(auto: on when the split fits the HBM budget)")
     parser.add_argument("--streaming_eval", action="store_true",
                         help="device-resident histogram AUC eval (only "
                              "[n_domain, auc_bins] histograms reach host)")

@@ -1,0 +1,66 @@
+"""Device-resident epoch path (config.device_data): one on-device scan per
+epoch over an HBM-resident train split must be numerically equivalent to
+the host-staged chunked path (same shuffle stream, same rng chain, same
+padded-batch semantics). Covers single-output + multi-tower (group-gather)
+models and ragged tail batches."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from aread_tpu.config import Config
+from aread_tpu.data.loader import GlobalBatcher, make_synthetic_data
+from aread_tpu.models.deepfm import DeepFM
+from aread_tpu.models.mmoe import MMoE
+from aread_tpu.train.trainer import Trainer
+
+
+def _fit_params(model, data, cfg, device_data: str, epochs: int = 2):
+    cfg = dataclasses.replace(cfg, device_data=device_data)
+    trainer = Trainer(model, cfg, data.n_domain,
+                      domain2group=np.asarray(
+                          [d % 3 for d in range(data.n_domain)])
+                      if cfg.model == "mmoe" else None)
+    out = trainer.fit(data, epochs=epochs, verbose=False)
+    return out
+
+
+@pytest.mark.parametrize("model_name", ["deepfm", "mmoe"])
+def test_device_epoch_matches_host_path(model_name):
+    # bs=192 over 1638 train rows -> ragged tail batch exercises padding
+    data = make_synthetic_data(n_rows=2048, n_domain=4, seed=3)
+    cfg = Config(model=model_name, bs=192, lr=1e-2, epoch=2, embed_dim=8,
+                 is_evaluate_multi_domain=True)
+    if model_name == "deepfm":
+        mk = lambda: DeepFM(spec=data.spec, embed_dim=8, mlp_dims=(16, 8))
+    else:
+        mk = lambda: MMoE(spec=data.spec, embed_dim=8, n_tower=3,
+                          expert_dims=(16, 8), tower_dims=(8, 4),
+                          att_layer_num=1, atten_embed_dim=8)
+    host = _fit_params(mk(), data, cfg, device_data="0")
+    dev = _fit_params(mk(), data, cfg, device_data="1")
+
+    flat_h = jax.tree_util.tree_leaves(host["params"])
+    flat_d = jax.tree_util.tree_leaves(dev["params"])
+    for a, b in zip(flat_h, flat_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    assert host["test"]["total_auc"] == pytest.approx(
+        dev["test"]["total_auc"], abs=1e-5)
+
+
+def test_device_data_auto_budget():
+    data = make_synthetic_data(n_rows=512, n_domain=3, seed=0)
+    cfg = Config(model="deepfm", bs=128, embed_dim=8)
+    model = DeepFM(spec=data.spec, embed_dim=8, mlp_dims=(8,))
+    tr = Trainer(model, cfg, data.n_domain)
+    assert tr.device_data_enabled(data.train_x)  # tiny split -> auto on
+    huge = np.lib.stride_tricks.as_strided(
+        np.zeros(1, np.int32), shape=(2 ** 28, 17), strides=(0, 0))
+    assert not tr.device_data_enabled(huge)  # over budget -> off
+
+    cfg0 = dataclasses.replace(cfg, device_data="0")
+    assert not Trainer(model, cfg0, data.n_domain).device_data_enabled(
+        data.train_x)
