@@ -141,15 +141,18 @@ class Config:
     table_moments_dtype: str = "float32"  # 'float32' | 'bfloat16'
     # include the stop_gradient table-L2 term in REPORTED losses so they
     # match the reference's printed losses (run.py:505). It never affects
-    # gradients (the table L2 gradient folds into the fused Adam), but
-    # reading the full table for the value costs ~0.21 ms/step at Amazon
-    # scale; False skips it.
+    # gradients (the table L2 gradient folds into the fused Adam). On the
+    # sparse-Adam Pallas kernel path the VALUE accumulates inside the
+    # optimizer's table sweep at zero extra HBM traffic; other paths pay
+    # one full-table read (~0.21 ms/step at Amazon scale).
     loss_report_table_l2: bool = True
-    # JAX PRNG implementation for dropout masks: 'rbg' generates masks
-    # ~0.3 ms/step faster than the default 'threefry' at bs=1024 (RNG
-    # streams differ; run-to-run metric variance is the parity criterion
-    # either way, BASELINE.md)
-    prng_impl: str = "threefry"  # 'threefry' | 'rbg'
+    # JAX PRNG implementation for dropout masks. 'rbg' is the TPU-native
+    # generator (~0.3 ms/step faster than 'threefry' at bs=1024) and the
+    # default: only the dropout bit-stream changes, never the
+    # distribution — run-to-run metric variance is the parity criterion
+    # (BASELINE.md). 'threefry' restores JAX's reproducible-across-
+    # backends default stream.
+    prng_impl: str = "rbg"  # 'rbg' | 'threefry'
     mesh_data: int = 1  # data-parallel axis size
     mesh_model: int = 1  # model-parallel (embedding row-shard) axis size
     sparse_table_grad: bool = True  # sparse embedding-table gradients:

@@ -73,7 +73,7 @@ def supports(n_rows: int, d: int) -> bool:
 
 
 def _kernel(bounds_ref, scal_ref, w_ref, m_ref, v_ref, fr_ref, gfull_ref,
-            ow_ref, om_ref, ov_ref):
+            ow_ref, om_ref, ov_ref, ol2_ref=None, *, n_flat=None):
     i = pl.program_id(0)
     lr, b1, b2, eps, decay, b1c, b2c = (scal_ref[0], scal_ref[1], scal_ref[2],
                                         scal_ref[3], scal_ref[4], scal_ref[5],
@@ -112,6 +112,20 @@ def _kernel(bounds_ref, scal_ref, w_ref, m_ref, v_ref, fr_ref, gfull_ref,
     # visible parity break under bitwise tests
     omb1, omb2 = scal_ref[7], scal_ref[8]
     w = w_ref[:]
+    if ol2_ref is not None:
+        # free ||w||^2 of the PRE-update table (the value the loss reports,
+        # trainer.table_reg_value): w is already streaming through VMEM, so
+        # the sum costs zero extra HBM traffic. The last block's tail rows
+        # (beyond n_flat) are buffer padding — mask them out.
+        row = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_F, LANES), 0)
+        live = (i * BLOCK_F + row) < n_flat
+        blk = jnp.sum(jnp.where(live, w * w, 0.0))
+
+        @pl.when(i == 0)
+        def _():
+            ol2_ref[0, 0] = 0.0
+
+        ol2_ref[0, 0] += blk
     g = gfix + decay * w
     # moments may be stored bf16 (config.table_moments_dtype); compute in
     # f32 either way — for f32 storage the astypes are no-ops and the
@@ -174,21 +188,23 @@ def sparse_adam_kernel_update(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
                               b2: float = 0.99, eps: float = 1e-8,
                               weight_decay: float = 1e-8, l2: float = 0.0,
                               table_shape: Tuple[int, int] = None,
-                              interpret: bool = None
-                              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                              interpret: bool = None, want_l2: bool = False
+                              ) -> Tuple[jnp.ndarray, ...]:
     """One dense-semantics Adam step; data gradient as sorted-unique
     (uids [K] with sentinel n_rows padding, gsum [K, D]). w/m/v may be
     [n_rows, D] or already the flat [n_rows*D/128, 128] view (pass
     ``table_shape`` then — strongly preferred: reshaping [N, D<128] on TPU
     is a physical relayout costing several ms at Amazon scale). Caller
     handles the PAD_W overflow fallback (ops/sparse_adam.sparse_table_adam).
+    ``want_l2``: also return sum(w**2) of the pre-update table (free — w
+    already streams through the kernel), as a 4th output.
     """
     n_rows, d = table_shape if table_shape is not None else w.shape
     bounds, fr_pad, gfull, _ = pack_meta(uids, gsum, n_rows, d)
     return sparse_adam_kernel_premeta(
         w, m, v, bounds, fr_pad, gfull, t, lr=lr, b1=b1, b2=b2, eps=eps,
         weight_decay=weight_decay, l2=l2, table_shape=(n_rows, d),
-        interpret=interpret)
+        interpret=interpret, want_l2=want_l2)
 
 
 def sparse_adam_kernel_premeta(w: jnp.ndarray, m: jnp.ndarray,
@@ -198,12 +214,12 @@ def sparse_adam_kernel_premeta(w: jnp.ndarray, m: jnp.ndarray,
                                b2: float = 0.99, eps: float = 1e-8,
                                weight_decay: float = 1e-8, l2: float = 0.0,
                                table_shape: Tuple[int, int] = None,
-                               interpret: bool = None
-                               ) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                          jnp.ndarray]:
+                               interpret: bool = None, want_l2: bool = False
+                               ) -> Tuple[jnp.ndarray, ...]:
     """Kernel entry with pack_meta's outputs precomputed — lets the caller
     compute them once and reuse the overflow flag for the fallback cond
-    (ops/sparse_adam.sparse_adam_dispatch)."""
+    (ops/sparse_adam.sparse_adam_dispatch). ``want_l2``: 4th output
+    sum(w_pre**2), accumulated in-kernel at zero bandwidth cost."""
     if interpret is None:
         interpret = default_interpret()
     n_rows, d = table_shape if table_shape is not None else w.shape
@@ -233,24 +249,36 @@ def sparse_adam_kernel_premeta(w: jnp.ndarray, m: jnp.ndarray,
     # (constant index_map => one DMA)
     gfull_spec = pl.BlockSpec((K + PAD_W, LANES), lambda i, *_: (0, 0),
                               memory_space=pltpu.VMEM)
+    in_shape = w.shape
+    flat = lambda x: x if x.shape == (n_flat, LANES) else x.reshape(n_flat, LANES)
+    out_shape = (jax.ShapeDtypeStruct((n_flat, LANES), w.dtype),
+                 jax.ShapeDtypeStruct((n_flat, LANES), m.dtype),
+                 jax.ShapeDtypeStruct((n_flat, LANES), v.dtype))
+    out_specs = (block, block, block)
+    kernel = _kernel
+    if want_l2:
+        from functools import partial as _partial
+        out_shape = out_shape + (jax.ShapeDtypeStruct((1, 1), jnp.float32),)
+        out_specs = out_specs + (pl.BlockSpec(
+            (1, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),)
+        kernel = _partial(_kernel, n_flat=n_flat)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # bounds, scalars
         grid=(grid,),
         in_specs=[block, block, block, fr_spec, gfull_spec],
-        out_specs=(block, block, block),
+        out_specs=out_specs,
     )
-    in_shape = w.shape
-    flat = lambda x: x if x.shape == (n_flat, LANES) else x.reshape(n_flat, LANES)
-    ow, om, ov = pl.pallas_call(
-        _kernel,
+    outs = pl.pallas_call(
+        kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((n_flat, LANES), w.dtype),
-                   jax.ShapeDtypeStruct((n_flat, LANES), m.dtype),
-                   jax.ShapeDtypeStruct((n_flat, LANES), v.dtype)),
+        out_shape=out_shape,
         input_output_aliases={2: 0, 3: 1, 4: 2},  # w,m,v in place
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(bounds, scalars, flat(w), flat(m), flat(v), fr_pad, gfull)
     unflat = lambda x: x.reshape(in_shape)
-    return unflat(ow), unflat(om), unflat(ov)
+    ow, om, ov = (unflat(o) for o in outs[:3])
+    if want_l2:
+        return ow, om, ov, outs[3][0, 0]
+    return ow, om, ov

@@ -63,8 +63,9 @@ def sparse_table_adam(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
                       weight_decay: float = 1e-8, l2: float = 0.0,
                       table_shape: Tuple[int, int] = None,
                       lazy: bool = False,
-                      assume_no_overflow: bool = False
-                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                      assume_no_overflow: bool = False,
+                      want_l2: bool = False
+                      ) -> Tuple[jnp.ndarray, ...]:
     """Dense-semantics Adam step from a sparse data gradient.
 
     w/m/v: the table and moments, either [n_rows, D] or — preferred on
@@ -72,13 +73,17 @@ def sparse_table_adam(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
     ops/embedding.FeaturesEmbedding.flat_storage; pass ``table_shape`` =
     (n_rows, D) then). flat_ids [K] int (logical table rows);
     flat_grads [K, D]; t: 1-based step (scalar int array).
-    Returns (w, m, v) in the layout given."""
+    Returns (w, m, v) in the layout given; with ``want_l2`` also
+    sum(w_pre**2) as a 4th output (free on the kernel path — the table is
+    already streaming through it; an explicit pass elsewhere, exactly what
+    a separate trainer-side table_reg_value would have paid)."""
     n_rows, d = table_shape if table_shape is not None else w.shape
     uids, gsum = dedup_rows(flat_ids, flat_grads, n_rows)
     return sparse_adam_dispatch(w, m, v, uids, gsum, t, lr=lr, b1=b1, b2=b2,
                                 eps=eps, weight_decay=weight_decay, l2=l2,
                                 table_shape=(n_rows, d), lazy=lazy,
-                                assume_no_overflow=assume_no_overflow)
+                                assume_no_overflow=assume_no_overflow,
+                                want_l2=want_l2)
 
 
 def sparse_adam_dispatch(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
@@ -88,8 +93,9 @@ def sparse_adam_dispatch(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
                          weight_decay: float = 1e-8, l2: float = 0.0,
                          table_shape: Tuple[int, int] = None,
                          lazy: bool = False,
-                         assume_no_overflow: bool = False
-                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                         assume_no_overflow: bool = False,
+                         want_l2: bool = False
+                         ) -> Tuple[jnp.ndarray, ...]:
     """sparse_table_adam after dedup: (uids, gsum) are SORTED-unique with
     sentinel >= n_rows padding. Kernel on TPU when supported, exact XLA
     two-phase otherwise / on overflow. Also the per-shard body of
@@ -113,10 +119,14 @@ def sparse_adam_dispatch(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
     n_rows, d = table_shape if table_shape is not None else w.shape
     is_flat = w.shape != (n_rows, d)
     kw = dict(lr=lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay, l2=l2)
+    # pre-update ||w||^2 for paths that don't get it free from the kernel
+    # (same explicit full pass a trainer-side table_reg_value would pay)
+    w_l2 = (lambda: jnp.sum(jnp.square(w))) if want_l2 else None
 
     if lazy:
-        return _lazy_sparse_adam(w, m, v, uids, gsum, t,
-                                 table_shape=(n_rows, d), **kw)
+        out = _lazy_sparse_adam(w, m, v, uids, gsum, t,
+                                table_shape=(n_rows, d), **kw)
+        return out + (w_l2(),) if want_l2 else out
 
     from aread_tpu.ops.pallas import sparse_adam_kernel as sak
 
@@ -124,12 +134,13 @@ def sparse_adam_dispatch(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
         # ground truth / overflow fallback; operates on the [n_rows, D]
         # view (on TPU the reshape from flat storage is a relayout — only
         # paid on the rare PAD_W overflow)
+        l2v = (jnp.sum(jnp.square(w_)),) if want_l2 else ()
         if is_flat:
             w_, m_, v_ = (a.reshape(n_rows, d) for a in (w_, m_, v_))
         out = _xla_sparse_adam(w_, m_, v_, uids, gsum, t, **kw)
         if is_flat:
             out = tuple(a.reshape(w.shape) for a in out)
-        return out
+        return tuple(out) + l2v
 
     if jax.default_backend() == "tpu" and sak.supports(n_rows, d):
         # one-pass Pallas kernel on the flat [*, 128] view: per-block
@@ -144,13 +155,13 @@ def sparse_adam_dispatch(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
         if assume_no_overflow:
             return sak.sparse_adam_kernel_premeta(
                 w, m, v, bounds, fr_pad, gfull, t,
-                table_shape=(n_rows, d), **kw)
+                table_shape=(n_rows, d), want_l2=want_l2, **kw)
         return jax.lax.cond(
             overflow,
             xla_path,
             lambda w_, m_, v_: sak.sparse_adam_kernel_premeta(
                 w_, m_, v_, bounds, fr_pad, gfull, t,
-                table_shape=(n_rows, d), **kw),
+                table_shape=(n_rows, d), want_l2=want_l2, **kw),
             w, m, v)
 
     return xla_path(w, m, v)

@@ -114,8 +114,6 @@ class AREADTrainer:
                 la = out["leaf_active"].astype(per_leaf.dtype)
                 bce = jnp.sum(per_leaf * la) / jnp.maximum(la.sum(), 1e-8)
             loss = bce + regularization_loss(p, reg_rules)
-            if cfg.loss_report_table_l2:
-                loss = loss + table_reg_value(p["embedding"]["table"])
             return loss, (new_state, out["gate_means"])
 
         def step_core(opt, opt_lr, mode, params, state, opt_state, batch,
@@ -140,16 +138,26 @@ class AREADTrainer:
                 (loss, (new_state, gms)), (g_rest, g_pert) = jax.value_and_grad(
                     lf, argnums=(0, 1), has_aux=True)(rest, pert0)
                 ids = embedding_flat_ids(spec, batch["x"])
-                new_params, new_opt_state = hybrid_update_sparse(
+                out = hybrid_update_sparse(
                     opt, opt_lr, cfg.wd, params, g_rest, ids,
                     g_pert["embedding"]["rows"], opt_state,
                     table_shape=(int(np.sum(spec.one_hot_dims)), embed_dim),
                     mesh=self.mesh,
                     lazy=cfg.table_optimizer == "lazy_adam",
-                    assume_no_overflow=no_overflow)
+                    assume_no_overflow=no_overflow,
+                    want_table_l2=cfg.loss_report_table_l2)
+                if cfg.loss_report_table_l2:
+                    # reported loss includes the table L2 value (reference
+                    # run.py:505), accumulated free inside the kernel sweep
+                    new_params, new_opt_state, l2val = out
+                    loss = loss + l2val
+                else:
+                    new_params, new_opt_state = out
                 return new_params, dict(new_state), new_opt_state, loss, gms
             (loss, (new_state, gms)), grads = jax.value_and_grad(
                 bagging_loss, has_aux=True)(params, None, state, batch, dm, rng, mode)
+            if cfg.loss_report_table_l2:
+                loss = loss + table_reg_value(params["embedding"]["table"])
             new_params, new_opt_state = hybrid_update(
                 opt, opt_lr, cfg.wd, params, grads, opt_state)
             return new_params, dict(new_state), new_opt_state, loss, gms
@@ -217,13 +225,16 @@ class AREADTrainer:
                                   domain_mask=mask, mode="domain_with_mask",
                                   train=False)
                 prob = jnp.clip(out["prob"], 1e-7, 1 - 1e-7)
-                bce = masked_mean(-(batch["y"] * jnp.log(prob)
-                                    + (1 - batch["y"]) * jnp.log1p(-prob)),
-                                  batch["valid"])
-                return bce + regularization_loss(params, reg_rules) \
-                    + table_reg_value(params["embedding"]["table"])
+                return masked_mean(-(batch["y"] * jnp.log(prob)
+                                     + (1 - batch["y"]) * jnp.log1p(-prob)),
+                                   batch["valid"])
 
-            return mask, jax.lax.map(probe, probe_batches)
+            # reg terms are constant across the probes (params fixed after
+            # the adapt scan) — hoisted out of the map: the table term is a
+            # full-table pass, paid once instead of once per probe
+            reg = regularization_loss(params, reg_rules) \
+                + table_reg_value(params["embedding"]["table"])
+            return mask, jax.lax.map(probe, probe_batches) + reg
 
         def fast_adapt_many(params0, state0, masks0, fa_batches,
                             probe_batches, rngs, no_overflow=False):
@@ -253,12 +264,13 @@ class AREADTrainer:
                                   domain_mask=dm, mode="domain_with_mask",
                                   train=False)
                 prob = jnp.clip(out["prob"], 1e-7, 1 - 1e-7)
-                bce = masked_mean(-(batch["y"] * jnp.log(prob)
-                                    + (1 - batch["y"]) * jnp.log1p(-prob)),
-                                  batch["valid"])
-                return bce + regularization_loss(params, reg_rules) \
-                    + table_reg_value(params["embedding"]["table"])
-            return jax.lax.map(one, batches)
+                return masked_mean(-(batch["y"] * jnp.log(prob)
+                                     + (1 - batch["y"]) * jnp.log1p(-prob)),
+                                   batch["valid"])
+            # reg terms constant across the stacked probes — one table pass
+            reg = regularization_loss(params, reg_rules) \
+                + table_reg_value(params["embedding"]["table"])
+            return jax.lax.map(one, batches) + reg
 
         @jax.jit
         def eval_loss_step(params, state, batch, dm):

@@ -217,35 +217,55 @@ def hybrid_update_sparse(optimizer: optax.GradientTransformation, lr: float,
                          opt_state: Dict, table_l2: float = TABLE_L2,
                          table_shape: Tuple[int, int] = None,
                          mesh=None, lazy: bool = False,
-                         assume_no_overflow: bool = False) -> Tuple[Dict, Dict]:
+                         assume_no_overflow: bool = False,
+                         want_table_l2: bool = False):
     """hybrid_update with the table's data gradient in sparse (ids, rows)
     form: the dense [n_rows, E] cotangent never exists. Bit-identical to
     the dense path (ops/sparse_adam.py). ``g_rest`` excludes the table.
     ``table_shape``: logical (n_rows, E), required when the table is
     stored flat (spec.flat_table). With a mesh whose 'model' axis > 1 the
     update runs per-shard under shard_map (parallel/sharded_adam.py) —
-    left to GSPMD, the Pallas custom call would be replicated."""
+    left to GSPMD, the Pallas custom call would be replicated.
+
+    ``want_table_l2``: also return TABLE_L2 * sum(w_pre**2) — the loss-
+    report term table_reg_value computes — as a 3rd output. On the Pallas
+    kernel path the sum accumulates INSIDE the optimizer sweep (the table
+    already streams through it), so reporting the reference's full loss
+    costs zero extra HBM traffic; other paths pay the same single pass a
+    trainer-side table_reg_value would."""
     from aread_tpu.ops.sparse_adam import sparse_table_adam
 
     p_table, p_rest = split_table(params)
     t = opt_state["t"] + 1
     flat_ids = table_ids.reshape(-1)
     flat_rows = row_grads.reshape(-1, row_grads.shape[-1])
+    l2val = None
     if mesh is not None and mesh.shape.get("model", 1) > 1:
         from aread_tpu.parallel.sharded_adam import sharded_sparse_table_adam
         new_table, m, v = sharded_sparse_table_adam(
             p_table, opt_state["m"], opt_state["v"], flat_ids, flat_rows,
             t, mesh=mesh, lr=lr, weight_decay=wd, l2=table_l2,
             table_shape=table_shape, lazy=lazy)
+        if want_table_l2:
+            l2val = table_reg_value(p_table)
     else:
-        new_table, m, v = sparse_table_adam(
+        out = sparse_table_adam(
             p_table, opt_state["m"], opt_state["v"], flat_ids, flat_rows,
             t, lr=lr, weight_decay=wd, l2=table_l2, table_shape=table_shape,
-            lazy=lazy, assume_no_overflow=assume_no_overflow)
+            lazy=lazy, assume_no_overflow=assume_no_overflow,
+            want_l2=want_table_l2)
+        if want_table_l2:
+            new_table, m, v, raw_l2 = out
+            l2val = TABLE_L2 * raw_l2
+        else:
+            new_table, m, v = out
     updates, new_inner = optimizer.update(g_rest, opt_state["inner"], p_rest)
     new_rest = optax.apply_updates(p_rest, updates)
     new_opt_state = {"inner": new_inner, "m": m, "v": v, "t": t}
-    return merge_table(new_rest, new_table), new_opt_state
+    new_params = merge_table(new_rest, new_table)
+    if want_table_l2:
+        return new_params, new_opt_state, l2val
+    return new_params, new_opt_state
 
 
 def matmul_precision_ctx(compute_dtype: str):
@@ -406,21 +426,28 @@ class Trainer:
                                  "perturbations": pert, **state}
                     bce, new_state = forward(variables)
                     loss = bce + regularization_loss(rest_p, reg_rules)
-                    if report_treg:
-                        loss = loss + table_reg_value(table)
                     return loss, new_state
 
                 pert0 = perturbation_zeros(spec, x, embed_dim)
                 (loss, new_state), (g_rest, g_pert) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True)(rest, pert0)
                 ids = embedding_flat_ids(spec, x)
-                new_params, new_opt_state = hybrid_update_sparse(
+                out = hybrid_update_sparse(
                     optimizer, lr, wd, params, g_rest, ids,
                     g_pert["embedding"]["rows"], opt_state,
                     table_shape=(int(np.sum(spec.one_hot_dims)), embed_dim),
                     mesh=mesh,
                     lazy=self.config.table_optimizer == "lazy_adam",
-                    assume_no_overflow=no_overflow)
+                    assume_no_overflow=no_overflow,
+                    want_table_l2=report_treg)
+                if report_treg:
+                    # reported loss includes the table L2 value (reference
+                    # run.py:505) — the kernel accumulated it for free over
+                    # the SAME pre-update table the forward used
+                    new_params, new_opt_state, l2val = out
+                    loss = loss + l2val
+                else:
+                    new_params, new_opt_state = out
                 return new_params, dict(new_state), new_opt_state, loss
 
             def loss_fn(p):

@@ -34,11 +34,8 @@ def main():
     import os
 
     import jax
-    # AREAD_TPU_BENCH_TUNED=1: the zero-quality-impact speed knobs
-    # (config.prng_impl='rbg' dropout masks + loss_report_table_l2=False)
-    tuned = bool(int(os.environ.get("AREAD_TPU_BENCH_TUNED", "0")))
-    if tuned:
-        jax.config.update("jax_default_prng_impl", "rbg")
+    # production default (config.prng_impl='rbg'): TPU-native dropout PRNG
+    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
     import optax
 
@@ -49,7 +46,7 @@ def main():
                                          make_optimizer, masked_mean,
                                          merge_table, perturbation_zeros,
                                          split_table, split_variables,
-                                         strip_table_rule, table_reg_value)
+                                         strip_table_rule)
 
     bs, embed_dim = 1024, 32
     # Amazon layout (run.py:52-54): itemid, weekday, domain, sales_chart,
@@ -84,8 +81,9 @@ def main():
     # ='bfloat16' (bf16 moment storage, f32 compute)
     moments_dtype = os.environ.get("AREAD_TPU_BENCH_MOMENTS") or None
     opt_state = hybrid_init(optimizer, params, moments_dtype=moments_dtype)
-    # table L2 folds into the fused Adam kernel (ops/pallas/fused_adam.py);
-    # reported loss still includes its value (trainer.table_reg_value)
+    # table L2 GRADIENT folds into the fused Adam kernel; its VALUE (the
+    # reference's printed-loss term, run.py:505) accumulates inside the
+    # sparse-Adam kernel sweep for free (want_table_l2 below)
     reg_rules = strip_table_rule(type(model).REG_RULES)
 
     # The whole measurement loop runs ON DEVICE as one lax.scan: a python
@@ -121,20 +119,27 @@ def main():
                 in_axes=1)(out["leaf_logit"])
             la = out["leaf_active"].astype(per_leaf.dtype)
             bce = jnp.sum(per_leaf * la) / jnp.maximum(la.sum(), 1e-8)
-            loss = bce + regularization_loss(rest_p, reg_rules)
-            if not tuned:
-                loss = loss + table_reg_value(table)
-            return loss, new_state
+            return (bce + regularization_loss(rest_p, reg_rules),
+                    new_state)
 
         pert0 = perturbation_zeros(spec, x, embed_dim)
         (loss, new_state), (g_rest, g_pert) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(rest, pert0)
         ids = embedding_flat_ids(spec, x)
-        new_params, new_opt_state = hybrid_update_sparse(
+        # reported loss includes the table L2 value, accumulated for free
+        # inside the kernel's table sweep (skipped in lazy mode, whose
+        # point is O(batch) traffic — lazy deviates from the reference
+        # anyway and users pair it with --loss_report_table_l2 0)
+        out = hybrid_update_sparse(
             optimizer, 1e-3, 1e-8, params, g_rest, ids,
             g_pert["embedding"]["rows"], opt_state,
             table_shape=(int(np.sum(spec.one_hot_dims)), embed_dim),
-            lazy=lazy, assume_no_overflow=fits)
+            lazy=lazy, assume_no_overflow=fits, want_table_l2=not lazy)
+        if lazy:
+            new_params, new_opt_state = out
+        else:
+            new_params, new_opt_state, l2val = out
+            loss = loss + l2val
         return (new_params, dict(new_state), new_opt_state), loss
 
     n_steps = 50
@@ -163,8 +168,7 @@ def main():
     print(json.dumps({
         "metric": "aread_train_examples_per_sec_per_chip"
                   + ("_lazy" if lazy else "")
-                  + ("_bf16m" if moments_dtype else "")
-                  + ("_tuned" if tuned else ""),
+                  + ("_bf16m" if moments_dtype else ""),
         "value": round(eps, 1),
         "unit": "examples/s",
         "vs_baseline": round(vs, 2) if vs else None,

@@ -78,11 +78,14 @@ def load_config() -> Config:
                              "(O(batch) optimizer traffic)")
     parser.add_argument("--loss_report_table_l2", type=int, default=1,
                         help="include the (gradient-free) table L2 term in "
-                             "reported losses for reference loss parity; 0 "
-                             "skips its full-table read (~0.21 ms/step)")
-    parser.add_argument("--prng_impl", default="threefry",
-                        choices=["threefry", "rbg"],
-                        help="dropout PRNG; rbg is ~0.3 ms/step faster")
+                             "reported losses for reference loss parity "
+                             "(free on the sparse-Adam kernel path; one "
+                             "full-table read elsewhere)")
+    parser.add_argument("--prng_impl", default="rbg",
+                        choices=["rbg", "threefry"],
+                        help="dropout PRNG; rbg (TPU-native, default) is "
+                             "~0.3 ms/step faster, threefry restores JAX's "
+                             "cross-backend-reproducible stream")
     parser.add_argument("--table_moments_dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="storage dtype of the table Adam moments; "
@@ -140,9 +143,8 @@ def preprocess_csv_path(cfg: Config) -> str:
 
 def main():
     cfg = load_config()
-    if cfg.prng_impl != "threefry":
-        import jax
-        jax.config.update("jax_default_prng_impl", cfg.prng_impl)
+    import jax
+    jax.config.update("jax_default_prng_impl", cfg.prng_impl)
     from aread_tpu.data.loader import load_split_data
     from aread_tpu.models import build_model
     from aread_tpu.models.aread import AREAD

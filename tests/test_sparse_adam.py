@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from aread_tpu.ops.pallas.fused_adam import reference_adam_update
 from aread_tpu.ops.sparse_adam import dedup_rows, sparse_table_adam
@@ -417,3 +418,58 @@ def test_fit_checks_agree_with_pack_meta_overflow():
     assert not device_overflow(spread)
     assert rows_fit_kernel(spread, n_rows, d)
     assert steps_fit_kernel(spread[None], n_rows, d)
+
+
+def test_kernel_want_l2_matches_sum_of_squares():
+    """want_l2: the kernel's in-sweep accumulator must return the
+    pre-update sum(w**2) (the trainer's loss-report term), with the
+    ragged last block's padding rows masked out, and must not perturb
+    the (w, m, v) outputs."""
+    from aread_tpu.ops.pallas.sparse_adam_kernel import (
+        BLOCK_F, sparse_adam_kernel_update, supports)
+
+    rng = np.random.default_rng(4)
+    n_rows, D, K = (BLOCK_F + 513) * 16, 8, 128
+    assert supports(n_rows, D)
+    w = jnp.asarray(rng.normal(size=(n_rows, D)), jnp.float32)
+    m = jnp.asarray(rng.normal(size=(n_rows, D)) * 0.1, jnp.float32)
+    v = jnp.asarray(np.abs(rng.normal(size=(n_rows, D))) * 0.01, jnp.float32)
+    ids = jnp.asarray(rng.integers(0, n_rows, K), jnp.int32)
+    gv = jnp.asarray(rng.normal(size=(K, D)), jnp.float32)
+    t = jnp.asarray(2, jnp.int32)
+    kw = dict(lr=1e-3, b1=0.9, b2=0.99, eps=1e-8, weight_decay=1e-8, l2=1e-5)
+
+    uids, gsum = dedup_rows(ids, gv, n_rows)
+    sw, sm, sv = sparse_adam_kernel_update(w, m, v, uids, gsum, t,
+                                           interpret=True, **kw)
+    lw, lm, lv, l2 = sparse_adam_kernel_update(w, m, v, uids, gsum, t,
+                                               interpret=True, want_l2=True,
+                                               **kw)
+    np.testing.assert_array_equal(np.asarray(lw), np.asarray(sw))
+    np.testing.assert_array_equal(np.asarray(lm), np.asarray(sm))
+    np.testing.assert_array_equal(np.asarray(lv), np.asarray(sv))
+    want = float(jnp.sum(jnp.square(w)))
+    assert float(l2) == pytest.approx(want, rel=1e-6)
+
+
+def test_dispatch_want_l2_on_fallback_paths():
+    """want_l2 through sparse_table_adam's non-kernel paths (CPU XLA path
+    and lazy mode): 4th output equals sum(w_pre**2)."""
+    rng = np.random.default_rng(5)
+    n_rows, D, K = 96, 8, 32
+    w = jnp.asarray(rng.normal(size=(n_rows, D)), jnp.float32)
+    m = jnp.asarray(rng.normal(size=(n_rows, D)) * 0.1, jnp.float32)
+    v = jnp.asarray(np.abs(rng.normal(size=(n_rows, D))) * 0.01, jnp.float32)
+    ids = jnp.asarray(rng.integers(0, n_rows, K), jnp.int32)
+    gv = jnp.asarray(rng.normal(size=(K, D)), jnp.float32)
+    t = jnp.asarray(1, jnp.int32)
+    kw = dict(lr=1e-3, weight_decay=1e-8, l2=1e-5)
+    want = float(jnp.sum(jnp.square(w)))
+    for lazy in (False, True):
+        out = sparse_table_adam(w, m, v, ids, gv, t, lazy=lazy,
+                                want_l2=True, **kw)
+        assert len(out) == 4
+        assert float(out[3]) == pytest.approx(want, rel=1e-6)
+        ref = sparse_table_adam(w, m, v, ids, gv, t, lazy=lazy, **kw)
+        for a, b in zip(out[:3], ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
