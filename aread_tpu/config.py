@@ -172,9 +172,15 @@ class Config:
     # across the mesh; only [n_domain, auc_bins] histograms reach the host)
     auc_bins: int = 16384
 
-    def domain2group(self) -> Tuple[int, ...]:
-        return DOMAIN2GROUP[self.dataset_name][self.group_strategy]
+    def domain2group(self) -> Optional[Tuple[int, ...]]:
+        """Precomputed domain->group map (reference config.py:67-74), or
+        None when the dataset has no precomputed grouping (cloudtheme —
+        the reference crashes there, run.py:43-45 KeyError; callers fall
+        back to a modulo grouping over n_tower groups)."""
+        return DOMAIN2GROUP.get(self.dataset_name, {}).get(self.group_strategy)
 
     @property
     def n_tower(self) -> int:
-        return max(self.domain2group()) + 1
+        d2g = self.domain2group()
+        # 3 = the reference's group count for both precomputed datasets
+        return 3 if d2g is None else max(d2g) + 1

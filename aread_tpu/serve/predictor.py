@@ -154,7 +154,7 @@ def load_predictor(ckpt_path: str) -> Predictor:
     spec/run_config/n_domain)."""
     import dataclasses
 
-    from aread_tpu.config import DOMAIN2GROUP, Config
+    from aread_tpu.config import Config
     from aread_tpu.models import build_model
     from aread_tpu.models.base import FeatureSpec
     from aread_tpu.train.checkpoint import load_checkpoint
@@ -183,11 +183,14 @@ def load_predictor(ckpt_path: str) -> Predictor:
     ck = load_checkpoint(ckpt_path, n_domain=n_domain)
     model = build_model(cfg, spec, n_domain)
 
-    d2g = None
-    try:
-        d2g = np.array(DOMAIN2GROUP[cfg.dataset_name][cfg.group_strategy])
-    except KeyError:
-        pass
+    from aread_tpu.train.trainer import MULTI_TOWER_MODELS
+    d2g = cfg.domain2group()
+    if d2g is not None:
+        d2g = np.array(d2g)
+    elif cfg.model in MULTI_TOWER_MODELS:
+        # same modulo fallback as main.py for datasets without a
+        # precomputed grouping (cloudtheme) — must match training
+        d2g = np.arange(n_domain) % cfg.n_tower
     return Predictor(model, ck["params"], ck["state"], n_domain,
                      domain_mask=ck.get("domain_mask"),
                      domain2group=d2g, compute_dtype=cfg.compute_dtype)

@@ -17,7 +17,7 @@ import random
 
 import numpy as np
 
-from aread_tpu.config import Config, DOMAIN2GROUP
+from aread_tpu.config import Config
 
 
 def load_config() -> Config:
@@ -215,11 +215,18 @@ def main():
         trainer = MamdrTrainer(model, cfg, data.n_domain, mesh=mesh)
         result = trainer.fit(data, warm_start=warm_start)
     else:
-        d2g = None
-        try:
-            d2g = np.array(DOMAIN2GROUP[cfg.dataset_name][cfg.group_strategy])
-        except KeyError:
-            pass
+        from aread_tpu.train.trainer import MULTI_TOWER_MODELS
+        d2g = cfg.domain2group()
+        if d2g is not None:
+            d2g = np.array(d2g)
+        elif cfg.model in MULTI_TOWER_MODELS:
+            # no precomputed grouping for this dataset (cloudtheme):
+            # modulo grouping over the reference's 3 groups. Deviation: the
+            # reference crashes here (run.py:43-45 KeyError) — multi-tower
+            # models need SOME domain->group map to gather tower columns
+            d2g = np.arange(data.n_domain) % cfg.n_tower
+            print(f"no precomputed domain2group for {cfg.dataset_name}: "
+                  f"using modulo-{cfg.n_tower} grouping")
         model = build_model(cfg, data.spec, data.n_domain)
         trainer = Trainer(model, cfg, data.n_domain, domain2group=d2g, mesh=mesh)
         result = trainer.fit(data, warm_start=warm_start, ckpt_dir=elastic_dir)

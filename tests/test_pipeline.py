@@ -146,3 +146,43 @@ def test_amazon_end_to_end(tmp_path):
             "user_pos_6month_seq"} <= set(df.columns)
     assert len(df) > 0
     assert df["label"].isin([0, 1]).all()
+
+
+def test_cloudtheme_trains_with_modulo_grouping(tmp_path):
+    """cloudtheme has no precomputed domain2group (the reference crashes
+    there, run.py:43-45): Config.domain2group() must return None,
+    n_tower must fall back to 3, and a multi-tower model must train end
+    to end on preprocessed cloudtheme data with the modulo grouping."""
+    from aread_tpu.config import Config
+    from aread_tpu.data.loader import load_split_data
+    from aread_tpu.models import build_model
+    from aread_tpu.train.trainer import Trainer
+
+    cfg = Config(model="mmoe", dataset_name="cloudtheme", bs=128,
+                 embed_dim=8, epoch=1, mlp_dims=(16, 8), tower_dims=(8,),
+                 is_evaluate_multi_domain=True)
+    assert cfg.domain2group() is None
+    assert cfg.n_tower == 3
+
+    rng = np.random.default_rng(1)
+    n = 1500
+    base = tmp_path / "cloudtheme"
+    base.mkdir()
+    pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "item_id": rng.integers(0, 40, n),
+        "theme_id": rng.integers(0, 6, n),
+        "leaf_cate_id": rng.integers(0, 10, n),
+        "cate_level1_id": rng.integers(0, 4, n),
+        "reach_time": np.arange(n),
+        "clk_cnt": rng.integers(1, 5, n),
+    }).to_csv(base / "theme_click_log.csv", index=False)
+    csv = run_preprocessing("cloudtheme", str(tmp_path), n_domain=4,
+                            k_cores=2, sample_mode="nlargest",
+                            verbose=False)
+    data = load_split_data(csv, "cloudtheme")
+    model = build_model(cfg, data.spec, data.n_domain)  # n_tower fallback
+    d2g = np.arange(data.n_domain) % cfg.n_tower
+    trainer = Trainer(model, cfg, data.n_domain, domain2group=d2g)
+    out = trainer.fit(data, epochs=1, verbose=False)
+    assert np.isfinite(out["test"]["total_auc"])
