@@ -174,10 +174,15 @@ class Config:
 
     def domain2group(self) -> Optional[Tuple[int, ...]]:
         """Precomputed domain->group map (reference config.py:67-74), or
-        None when the dataset has no precomputed grouping (cloudtheme —
+        None when the DATASET has no precomputed grouping (cloudtheme —
         the reference crashes there, run.py:43-45 KeyError; callers fall
-        back to a modulo grouping over n_tower groups)."""
-        return DOMAIN2GROUP.get(self.dataset_name, {}).get(self.group_strategy)
+        back to a modulo grouping over n_tower groups). An unknown
+        group_strategy on a dataset that HAS groupings still fails fast
+        (a typo must not silently train with the fallback grouping)."""
+        groups = DOMAIN2GROUP.get(self.dataset_name)
+        if groups is None:
+            return None
+        return groups[self.group_strategy]
 
     @property
     def n_tower(self) -> int:

@@ -247,7 +247,8 @@ def hybrid_update_sparse(optimizer: optax.GradientTransformation, lr: float,
             t, mesh=mesh, lr=lr, weight_decay=wd, l2=table_l2,
             table_shape=table_shape, lazy=lazy)
         if want_table_l2:
-            l2val = table_reg_value(p_table)
+            l2val = table_l2 * jnp.sum(
+                jnp.square(jax.lax.stop_gradient(p_table)))
     else:
         out = sparse_table_adam(
             p_table, opt_state["m"], opt_state["v"], flat_ids, flat_rows,
@@ -256,7 +257,7 @@ def hybrid_update_sparse(optimizer: optax.GradientTransformation, lr: float,
             want_l2=want_table_l2)
         if want_table_l2:
             new_table, m, v, raw_l2 = out
-            l2val = TABLE_L2 * raw_l2
+            l2val = table_l2 * raw_l2
         else:
             new_table, m, v = out
     updates, new_inner = optimizer.update(g_rest, opt_state["inner"], p_rest)
@@ -566,8 +567,7 @@ class Trainer:
 
         def flush_chunk(params, state, opt_state, rng, chunk):
             stacked_np = {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
-            fits = self.config.sparse_table_grad and self.mesh is None and \
-                self.config.table_optimizer != "lazy_adam" and \
+            fits = self._kernel_dispatch_eligible() and \
                 batch_fits_kernel(self.model.spec, self.model.embed_dim,
                                   stacked_np["x"])
             stacked = self._place_stacked(stacked_np)
@@ -589,9 +589,9 @@ class Trainer:
             # for the tail of the epoch)
             for batch in pending:
                 rng, step_rng = jax.random.split(rng)
-                fits = self.config.sparse_table_grad and self.mesh is None \
-                    and batch_fits_kernel(self.model.spec,
-                                          self.model.embed_dim, batch["x"])
+                fits = self._kernel_dispatch_eligible() and \
+                    batch_fits_kernel(self.model.spec,
+                                      self.model.embed_dim, batch["x"])
                 jb = self._place(batch)
                 with self.step_timer.step(n_examples=int(batch["valid"].sum())):
                     params, state, opt_state, loss = self._train_step(
@@ -605,11 +605,33 @@ class Trainer:
 
     def device_data_enabled(self, train_x: np.ndarray) -> bool:
         cfg = self.config.device_data
-        if self.mesh is not None or cfg == "0":
+        if cfg == "0":
+            return False
+        if self.mesh is not None:
+            if cfg == "1":
+                raise ValueError(
+                    "device_data=1 is not supported on mesh runs (the "
+                    "epoch scan gathers from a single-device split); use "
+                    "device_data=auto/0 with a mesh")
             return False
         if cfg == "1":
             return True
         return train_x.nbytes <= self.DEVICE_DATA_BUDGET
+
+    def _kernel_dispatch_eligible(self, lazy_counts: bool = True) -> bool:
+        """Shared gate for the cond-free sparse-Adam kernel dispatch: the
+        per-batch fits-precheck is only meaningful when the kernel path
+        would actually run (single device, sparse table grads, exact —
+        not lazy — optimizer, TPU backend, supported layout)."""
+        if not (self.config.sparse_table_grad and self.mesh is None):
+            return False
+        if lazy_counts and self.config.table_optimizer == "lazy_adam":
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        from aread_tpu.ops.pallas import sparse_adam_kernel as sak
+        return sak.supports(int(np.sum(self.model.spec.one_hot_dims)),
+                            self.model.embed_dim)
 
     def _build_epoch_fits(self):
         """Jitted ON-DEVICE whole-epoch overflow precheck: every scan
@@ -652,14 +674,7 @@ class Trainer:
     def _epoch_fits_kernel(self, dx, perm_dev) -> bool:
         """True iff the no-cond kernel dispatch is safe for EVERY step of
         this epoch's schedule (``perm_dev``: device [n_batches, bs])."""
-        if not (self.config.sparse_table_grad and self.mesh is None
-                and self.config.table_optimizer != "lazy_adam"):
-            return False
-        if jax.default_backend() != "tpu":
-            return False
-        from aread_tpu.ops.pallas import sparse_adam_kernel as sak
-        if not sak.supports(int(np.sum(self.model.spec.one_hot_dims)),
-                            self.model.embed_dim):
+        if not self._kernel_dispatch_eligible():
             return False
         if self._epoch_fits is None:
             self._epoch_fits = self._build_epoch_fits()
@@ -673,10 +688,14 @@ class Trainer:
         same per-step rng chain, same padded-batch semantics."""
         if self._epoch_scan is None:
             self._epoch_scan = self._build_epoch_scan()
-        if self._device_data is None:
-            self._device_data = (jax.device_put(jnp.asarray(batcher.x)),
+        # cache keyed on the host split's identity: a second fit() on new
+        # data must not gather from the previous split's HBM copy
+        key = (id(batcher.x), batcher.x.shape, id(batcher.y))
+        if self._device_data is None or self._device_data[0] != key:
+            self._device_data = (key,
+                                 jax.device_put(jnp.asarray(batcher.x)),
                                  jax.device_put(jnp.asarray(batcher.y)))
-        dx, dy = self._device_data
+        _, dx, dy = self._device_data
         perm = jax.device_put(jnp.asarray(batcher.epoch_perm()))
         fits = self._epoch_fits_kernel(dx, perm)
         n_ex = int(batcher.x.shape[0])
@@ -852,6 +871,9 @@ class Trainer:
                                 rng_key=np.asarray(rng))
             if not cont:
                 break
+        # release the HBM split copy (~1.2 GB at Amazon scale) — eval /
+        # serving after fit must not keep it pinned
+        self._device_data = None
 
         if self.best_checkpoint is not None:
             best_params, best_state, _ = self.best_checkpoint

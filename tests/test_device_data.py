@@ -64,3 +64,37 @@ def test_device_data_auto_budget():
     cfg0 = dataclasses.replace(cfg, device_data="0")
     assert not Trainer(model, cfg0, data.n_domain).device_data_enabled(
         data.train_x)
+
+
+def test_device_data_cache_invalidated_across_fits():
+    """fit() on new data must not gather from a previous split's HBM copy
+    (and fit releases the copy afterwards)."""
+    cfg = Config(model="deepfm", bs=128, epoch=1, embed_dim=8,
+                 device_data="1")
+    data_a = make_synthetic_data(n_rows=512, n_domain=3, seed=1)
+    model = DeepFM(spec=data_a.spec, embed_dim=8, mlp_dims=(8,))
+    tr = Trainer(model, cfg, data_a.n_domain)
+    tr.fit(data_a, epochs=1, verbose=False)
+    assert tr._device_data is None  # released after fit
+    # second fit on a different (larger) split with the same spec
+    data_b = make_synthetic_data(n_rows=1024, n_domain=3, seed=2)
+    out = tr.fit(data_b, epochs=1, verbose=False)
+    assert np.isfinite(out["test"]["total_auc"])
+
+
+def test_device_data_mesh_force_raises():
+    import jax
+    from jax.sharding import Mesh
+
+    data = make_synthetic_data(n_rows=256, n_domain=3, seed=0)
+    model = DeepFM(spec=data.spec, embed_dim=8, mlp_dims=(8,))
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2, 1), ("data", "model"))
+    cfg = dataclasses.replace(Config(model="deepfm", bs=128, embed_dim=8),
+                              device_data="1")
+    tr = Trainer(model, cfg, data.n_domain, mesh=mesh)
+    with pytest.raises(ValueError):
+        tr.device_data_enabled(data.train_x)
+    # auto on a mesh: silently off, no error
+    cfg2 = dataclasses.replace(cfg, device_data="auto")
+    assert not Trainer(model, cfg2, data.n_domain,
+                       mesh=mesh).device_data_enabled(data.train_x)

@@ -186,3 +186,15 @@ def test_cloudtheme_trains_with_modulo_grouping(tmp_path):
     trainer = Trainer(model, cfg, data.n_domain, domain2group=d2g)
     out = trainer.fit(data, epochs=1, verbose=False)
     assert np.isfinite(out["test"]["total_auc"])
+
+
+def test_unknown_group_strategy_fails_fast():
+    """A typo'd --group_strategy on a dataset WITH precomputed groupings
+    must raise, not silently fall back to the modulo grouping."""
+    from aread_tpu.config import Config
+    cfg = Config(dataset_name="amazon", group_strategy="dcn_3group_kl")
+    try:
+        cfg.domain2group()
+        assert False, "expected KeyError"
+    except KeyError:
+        pass
