@@ -171,6 +171,10 @@ class Config:
     streaming_eval: bool = False  # device-resident histogram AUC (scales
     # across the mesh; only [n_domain, auc_bins] histograms reach the host)
     auc_bins: int = 16384
+    # failure detection (parallel/health.py): raise HealthError when a
+    # train epoch exceeds this many seconds (hung collective / dead host /
+    # stuck infeed). 0 = off. Pair with --elastic for restart-and-resume.
+    epoch_timeout_s: float = 0.0
 
     def domain2group(self) -> Optional[Tuple[int, ...]]:
         """Precomputed domain->group map (reference config.py:67-74), or

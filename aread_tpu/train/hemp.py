@@ -761,8 +761,11 @@ class AREADTrainer:
         for epoch_i in range(start_epoch,
                              epochs if epochs is not None else cfg.epoch):
             t0 = time.time()
-            params, state, opt_state, rng, train_loss = self.train_epoch(
-                params, state, opt_state, epoch_i, train_b, aug_b, rng, verbose)
+            from aread_tpu.parallel.health import watchdog
+            with watchdog(cfg.epoch_timeout_s, tag=f"aread_epoch{epoch_i}"):
+                params, state, opt_state, rng, train_loss = self.train_epoch(
+                    params, state, opt_state, epoch_i, train_b, aug_b, rng,
+                    verbose)
             train_b.shuffle_seq()
             result = self.evaluate(params, state, valid_b, data.domain_cnt_weight)
             result["train_loss"] = train_loss

@@ -680,12 +680,20 @@ class Trainer:
             self._epoch_fits = self._build_epoch_fits()
         return bool(self._epoch_fits(dx, perm_dev))
 
+    # steps per device dispatch for the device-resident epoch. One dispatch
+    # for the WHOLE epoch would be ideal, but a 17k-step scan runs >60 s on
+    # device and this image's tunneled backend drops RPCs that long (the
+    # TPU worker reports 'crashed or restarted'); ~8 s dispatches are safe
+    # and the per-chunk scalar sync costs one tunnel round trip each.
+    DEVICE_EPOCH_CHUNK = 2048
+
     def train_epoch_device(self, params, state, opt_state,
                            batcher: GlobalBatcher, rng):
-        """train_epoch over the HBM-resident split: one dispatch per epoch
-        (see _build_epoch_scan). Numerically identical to train_epoch —
-        same shuffle stream (batcher.epoch_perm advances the shared rng),
-        same per-step rng chain, same padded-batch semantics."""
+        """train_epoch over the HBM-resident split: a handful of scan
+        dispatches per epoch (see _build_epoch_scan). Numerically identical
+        to train_epoch — same shuffle stream (batcher.epoch_perm advances
+        the shared rng), same per-step rng chain, same padded-batch
+        semantics; (params, rng) chain across chunks exactly as one scan."""
         if self._epoch_scan is None:
             self._epoch_scan = self._build_epoch_scan()
         # cache keyed on the host split's identity: a second fit() on new
@@ -696,14 +704,20 @@ class Trainer:
                                  jax.device_put(jnp.asarray(batcher.x)),
                                  jax.device_put(jnp.asarray(batcher.y)))
         _, dx, dy = self._device_data
-        perm = jax.device_put(jnp.asarray(batcher.epoch_perm()))
-        fits = self._epoch_fits_kernel(dx, perm)
-        n_ex = int(batcher.x.shape[0])
+        perm_np = batcher.epoch_perm()
+        losses = []
         with profiling.trace():
-            with self.step_timer.step(n_examples=n_ex):
-                params, state, opt_state, rng, losses = self._epoch_scan(
-                    params, state, opt_state, dx, dy, perm, rng, fits)
-        return params, state, opt_state, rng, mean_losses([losses])
+            for lo in range(0, perm_np.shape[0], self.DEVICE_EPOCH_CHUNK):
+                chunk = perm_np[lo:lo + self.DEVICE_EPOCH_CHUNK]
+                perm = jax.device_put(jnp.asarray(chunk))
+                fits = self._epoch_fits_kernel(dx, perm)
+                n_ex = int(np.sum(chunk >= 0))
+                with self.step_timer.step(n_examples=n_ex):
+                    params, state, opt_state, rng, ls = self._epoch_scan(
+                        params, state, opt_state, dx, dy, perm, rng, fits)
+                    float(ls[-1])  # bound the tunnel RPC per chunk
+                losses.append(ls)
+        return params, state, opt_state, rng, mean_losses(losses)
 
     def evaluate(self, params, state, x: np.ndarray, y: np.ndarray,
                  domain_cnt_weight: np.ndarray) -> Dict:
@@ -843,13 +857,16 @@ class Trainer:
         for epoch_i in range(start_epoch,
                              epochs if epochs is not None else cfg.epoch):
             t0 = time.time()
-            if device_data:
-                params, state, opt_state, rng, train_loss = \
-                    self.train_epoch_device(params, state, opt_state,
-                                            batcher, rng)
-            else:
-                params, state, opt_state, rng, train_loss = self.train_epoch(
-                    params, state, opt_state, batcher, rng)
+            from aread_tpu.parallel.health import watchdog
+            with watchdog(cfg.epoch_timeout_s, tag=f"train_epoch{epoch_i}"):
+                if device_data:
+                    params, state, opt_state, rng, train_loss = \
+                        self.train_epoch_device(params, state, opt_state,
+                                                batcher, rng)
+                else:
+                    params, state, opt_state, rng, train_loss = \
+                        self.train_epoch(params, state, opt_state, batcher,
+                                         rng)
             result = self.evaluate(params, state, data.valid_x, data.valid_y,
                                    data.domain_cnt_weight)
             result["train_loss"] = train_loss

@@ -1,0 +1,157 @@
+"""End-to-end EPOCH throughput at Amazon scale (17.9M rows, vocab 1.37M).
+
+Unlike bench.py (the hot-step microbench), this measures a full training
+epoch through the production trainer paths, including input handling:
+
+  * generic trainer (MMoE, multi-tower + group gather) over the
+    device-resident epoch path (config.device_data): the split is placed
+    in HBM once; each epoch is ONE lax.scan dispatch whose only per-epoch
+    transfer is the [n_steps, bs] int32 permutation, preceded by the
+    on-device whole-epoch kernel-window precheck;
+  * the same epoch through the host-staged scan-chunk path
+    (device_data='0') for comparison;
+  * AREAD + HEMP over the domain-grouped batcher (a reduced split so a
+    full epoch with one mask-evolution regroup finishes in minutes),
+    reporting end-to-end examples/s including host mask logic.
+
+Row count defaults to AMAZON_N (env AREAD_TPU_BENCH_EPOCH_ROWS) — the
+reference's Amazon split is ~17.9M train rows (SURVEY.md §6). Results are
+recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+AMAZON_N = int(os.environ.get("AREAD_TPU_BENCH_EPOCH_ROWS", 17_900_000))
+AREAD_N = int(os.environ.get("AREAD_TPU_BENCH_EPOCH_AREAD_ROWS", 2_000_000))
+
+
+def synth(n_rows: int, spec, seed: int = 0):
+    """Uniform ids at the Amazon layout (labels random — this measures
+    throughput, not quality)."""
+    rng = np.random.default_rng(seed)
+    cols = [rng.integers(0, d, size=(n_rows, 1), dtype=np.int32)
+            for d in spec.one_hot_dims]
+    seqs = rng.integers(0, spec.one_hot_dims[spec.itemid_idx],
+                        size=(n_rows, spec.n_seq_fields * spec.seq_maxlen),
+                        dtype=np.int32)
+    x = np.concatenate(cols + [seqs], axis=1)
+    y = rng.integers(0, 2, size=n_rows).astype(np.int8)
+    return x, y
+
+
+def main():
+    import jax
+    jax.config.update("jax_default_prng_impl", "rbg")
+    import jax.numpy as jnp
+
+    from aread_tpu.config import Config, DOMAIN2GROUP
+    from aread_tpu.data.loader import DomainBatcher, GlobalBatcher
+    from aread_tpu.models import build_model
+    from aread_tpu.models.base import FeatureSpec
+    from aread_tpu.train.trainer import Trainer, split_variables
+
+    bs, embed_dim = 1024, 32
+    spec = FeatureSpec(
+        one_hot_dims=(1368287, 7, 25, 40, 11, 150000, 12),
+        n_seq_fields=2, itemid_idx=0, domain_idx=2,
+        seq_maxlen=5).with_flat_table(embed_dim)
+    n_domain = 25
+    d2g = np.array(DOMAIN2GROUP["amazon"]["dcn_3groups_kl"])
+
+    # ---------------- generic trainer (MMoE), device-resident epoch
+    cfg = Config(model="mmoe", dataset_name="amazon", bs=bs,
+                 embed_dim=embed_dim, epoch=1)
+    model = build_model(cfg, spec, n_domain)
+    trainer = Trainer(model, cfg, n_domain, domain2group=d2g)
+
+    print(f"synthesizing {AMAZON_N:,} rows ...", flush=True)
+    x, y = synth(AMAZON_N, spec)
+    print(f"split: {x.nbytes / 2**30:.2f} GiB", flush=True)
+
+    rng = jax.random.PRNGKey(0)
+    batcher = GlobalBatcher(x, y, bs, spec.domain_idx, d2g, seed=0)
+    first = next(iter(GlobalBatcher(x[:bs], y[:bs], bs, spec.domain_idx,
+                                    d2g, shuffle=False)))
+    params, state, opt_state = trainer.init(rng, first)
+
+    results = {}
+    for label, fn in (
+        ("mmoe_epoch_device", trainer.train_epoch_device),
+        ("mmoe_epoch_host", trainer.train_epoch),
+    ):
+        # warm-up epoch compiles; second epoch measures
+        for phase in ("compile", "measure"):
+            t0 = time.perf_counter()
+            params, state, opt_state, rng, loss = fn(
+                params, state, opt_state, batcher, rng)
+            loss = float(loss)  # sync (tunnel returns early otherwise)
+            dt = time.perf_counter() - t0
+            eps = AMAZON_N / dt
+            print(f"{label} [{phase}]: {dt:.1f}s  {eps:,.0f} ex/s  "
+                  f"loss={loss:.4f}", flush=True)
+        results[label] = round(eps, 1)
+        if os.environ.get("AREAD_TPU_BENCH_EPOCH_SKIP_HOST"):
+            break
+
+    del x, y, batcher
+    trainer._device_data = None
+    if os.environ.get("AREAD_TPU_BENCH_EPOCH_SKIP_AREAD"):
+        print(json.dumps(results))
+        return
+
+    # ---------------- AREAD + HEMP end-to-end epoch (reduced rows)
+    from aread_tpu.train.hemp import AREADTrainer
+
+    acfg = Config(model="aread", dataset_name="amazon", bs=bs,
+                  embed_dim=embed_dim, epoch=1,
+                  warm_up_interval=32,
+                  regroup_interval=int(AREAD_N / 1024 / 2),  # ~2 regroups
+                  candidate_mask_num=3, regroup_update_step=5,
+                  regroup_eval_step=5)
+    amodel = build_model(acfg, spec, n_domain)
+    atrainer = AREADTrainer(amodel, acfg, n_domain)
+    ax, ay = synth(AREAD_N, spec, seed=1)
+    # domain sizes follow the synthetic uniform draw; DomainBatcher pads
+    train_b = DomainBatcher(ax, ay, bs, spec.domain_idx, n_domain, seed=0)
+    aug_b = DomainBatcher(ax, ay, bs, spec.domain_idx, n_domain, seed=1)
+    rng = jax.random.PRNGKey(1)
+    sample = train_b.next_batch(0)
+    aparams, astate, aopt = atrainer.init(rng, sample)
+
+    t0 = time.perf_counter()
+    aparams, astate, aopt, rng, aloss = atrainer.train_epoch(
+        aparams, astate, aopt, 0, train_b, aug_b, rng, verbose=True)
+    print(f"aread_hemp epoch 0 (compiles + warm-up): "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
+    # epoch 1 is the steady state: everything compiled, no warm-up; the
+    # step timer then measures pure dispatch walls (incl. host staging)
+    from aread_tpu.utils import profiling as _prof
+    atrainer.step_timer = _prof.StepTimer()
+    train_b.shuffle_seq()
+    t0 = time.perf_counter()
+    aparams, astate, aopt, rng, aloss = atrainer.train_epoch(
+        aparams, astate, aopt, 1, train_b, aug_b, rng, verbose=True)
+    aloss = float(aloss)
+    dt = time.perf_counter() - t0
+    eps = atrainer.step_timer.summary()["examples_per_s"]
+    print(f"aread_hemp_epoch: wall {dt:.1f}s, steady {eps:,.0f} ex/s "
+          f"(step-timed, excl. mask evolution), loss={aloss:.4f}",
+          flush=True)
+    results["aread_hemp_epoch_steady"] = round(eps, 1)
+    results["aread_hemp_epoch_wall_exs"] = round(AREAD_N / dt, 1)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -107,6 +107,10 @@ def load_config() -> Config:
                         help="device-resident histogram AUC eval (only "
                              "[n_domain, auc_bins] histograms reach host)")
     parser.add_argument("--auc_bins", type=int, default=16384)
+    parser.add_argument("--epoch_timeout_s", type=float, default=0.0,
+                        help="failure detection: raise if a train epoch "
+                             "exceeds this many seconds (hung collective / "
+                             "dead host); 0 = off; pair with --elastic")
     args = parser.parse_args()
 
     if args.is_set_seed == 0:

@@ -98,3 +98,24 @@ def test_device_data_mesh_force_raises():
     cfg2 = dataclasses.replace(cfg, device_data="auto")
     assert not Trainer(model, cfg2, data.n_domain,
                        mesh=mesh).device_data_enabled(data.train_x)
+
+
+def test_device_epoch_chunked_matches_single_chunk():
+    """DEVICE_EPOCH_CHUNK-bounded dispatches must chain (params, rng)
+    exactly like one whole-epoch scan (tunnel RPC-length safety must not
+    change numerics)."""
+    data = make_synthetic_data(n_rows=1024, n_domain=3, seed=5)
+    cfg = Config(model="deepfm", bs=128, lr=1e-2, epoch=2, embed_dim=8,
+                 device_data="1")
+
+    def run(chunk):
+        model = DeepFM(spec=data.spec, embed_dim=8, mlp_dims=(16, 8))
+        tr = Trainer(model, cfg, data.n_domain)
+        tr.DEVICE_EPOCH_CHUNK = chunk
+        return tr.fit(data, epochs=2, verbose=False)
+
+    big = run(10_000)   # whole epoch in one dispatch
+    small = run(3)      # 3-step dispatches with a ragged tail
+    for a, b in zip(jax.tree_util.tree_leaves(big["params"]),
+                    jax.tree_util.tree_leaves(small["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
