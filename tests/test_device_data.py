@@ -119,3 +119,55 @@ def test_device_epoch_chunked_matches_single_chunk():
     for a, b in zip(jax.tree_util.tree_leaves(big["params"]),
                     jax.tree_util.tree_leaves(small["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_epoch_fits_matches_host_predicate():
+    """The on-device whole-epoch kernel-window precheck must compute the
+    same predicate as the host steps_fit_kernel (distinct table rows per
+    flat block <= PAD_W, per step)."""
+    from aread_tpu.ops.embedding import compute_offsets
+    from aread_tpu.ops.sparse_adam import steps_fit_kernel
+
+    data = make_synthetic_data(n_rows=1024, n_domain=3, seed=7)
+    spec = data.spec.with_flat_table(8)
+    cfg = Config(model="deepfm", bs=64, embed_dim=8)
+    model = DeepFM(spec=spec, embed_dim=8, mlp_dims=(8,))
+    tr = Trainer(model, cfg, data.n_domain)
+    fits_fn = tr._build_epoch_fits()
+
+    import jax.numpy as jnp
+    n_rows = int(np.sum(spec.one_hot_dims))
+    offs = np.asarray(compute_offsets(
+        spec.one_hot_dims, spec.n_seq_fields * spec.seq_maxlen,
+        spec.itemid_idx))
+    dx = jnp.asarray(data.train_x)
+    # a ragged-tail schedule over the split
+    from aread_tpu.data.loader import GlobalBatcher
+    b = GlobalBatcher(data.train_x, data.train_y, 64, spec.domain_idx, seed=0)
+    perm = b.epoch_perm()
+    got = bool(fits_fn(dx, jnp.asarray(perm)))
+    gidx = np.where(perm < 0, perm[:, :1], perm)
+    ids = np.clip(data.train_x[gidx] + offs, 0, n_rows - 1)
+    want = steps_fit_kernel(ids.reshape(perm.shape[0], -1), n_rows, 8)
+    assert got == want
+
+    # and a schedule that VIOLATES the window (dense vocab coverage in one
+    # block) must come back False from both
+    data2 = make_synthetic_data(n_rows=4096, n_domain=3, vocab=2000, seed=8)
+    spec2 = data2.spec.with_flat_table(8)
+    tr2 = Trainer(DeepFM(spec=spec2, embed_dim=8, mlp_dims=(8,)),
+                  Config(model="deepfm", bs=512, embed_dim=8), data2.n_domain)
+    fits2 = tr2._build_epoch_fits()
+    b2 = GlobalBatcher(data2.train_x, data2.train_y, 512, spec2.domain_idx,
+                       seed=0)
+    perm2 = b2.epoch_perm()
+    n_rows2 = int(np.sum(spec2.one_hot_dims))
+    offs2 = np.asarray(compute_offsets(
+        spec2.one_hot_dims, spec2.n_seq_fields * spec2.seq_maxlen,
+        spec2.itemid_idx))
+    got2 = bool(fits2(jnp.asarray(data2.train_x), jnp.asarray(perm2)))
+    gidx2 = np.where(perm2 < 0, perm2[:, :1], perm2)
+    ids2 = np.clip(data2.train_x[gidx2] + offs2, 0, n_rows2 - 1)
+    want2 = steps_fit_kernel(ids2.reshape(perm2.shape[0], -1), n_rows2, 8)
+    assert got2 == want2
+    assert not want2  # dense vocab coverage must overflow the window
