@@ -224,6 +224,30 @@ def steps_fit_kernel(row_ids_2d, n_rows: int, d: int) -> bool:
     return int(counts.max(initial=0)) <= sak.PAD_W
 
 
+def steps_fit_kernel_jax(ids_2d: jnp.ndarray, n_rows: int, d: int):
+    """steps_fit_kernel as a jittable device computation: ``ids_2d``
+    [S, K] already-offset table rows, one optimizer step per row; returns
+    a scalar bool (max distinct table rows per flat block over all steps
+    <= PAD_W). One batched row-sort — several times faster than a scan of
+    per-step sorts, and orders of magnitude faster than host numpy on
+    this image's 2 CPU cores."""
+    from aread_tpu.ops.pallas import sparse_adam_kernel as sak
+
+    assert sak.supports(n_rows, d), (n_rows, d)
+    rpf = sak.LANES // d
+    n_flat = (n_rows * d) // sak.LANES
+    grid = -(-n_flat // sak.BLOCK_F)
+    S = ids_2d.shape[0]
+    sid = jnp.sort(ids_2d, axis=-1)
+    new = jnp.concatenate(
+        [jnp.ones((S, 1), bool), sid[:, 1:] != sid[:, :-1]], axis=1)
+    blk = (sid // rpf) // sak.BLOCK_F
+    key = (jnp.arange(S, dtype=jnp.int32)[:, None] * grid + blk).reshape(-1)
+    counts = jax.ops.segment_sum(new.reshape(-1).astype(jnp.int32), key,
+                                 num_segments=S * grid)
+    return counts.max() <= sak.PAD_W
+
+
 def _lazy_sparse_adam(w, m, v, uids, gsum, t, lr, b1=0.9, b2=0.99, eps=1e-8,
                       weight_decay=1e-8, l2=0.0, table_shape=None):
     """torch.optim.SparseAdam-semantics update: only the gathered rows'

@@ -75,6 +75,7 @@ class AREADTrainer:
         self.best_checkpoint = None
         self._improved = False
         self._fns = None
+        self._fits_x = None
         self.step_timer = profiling.StepTimer()
 
     # ------------------------------------------------------------- jitted
@@ -337,6 +338,29 @@ class AREADTrainer:
         return self._fns
 
     # -------------------------------------------------------------- helpers
+    def _fits_from_x(self, x_stacked):
+        """Device-side kernel-window precheck from a placed batch stack
+        [..., bs, F] (per-step predicate of ops/sparse_adam.
+        steps_fit_kernel, evaluated as one batched row-sort)."""
+        if self._fits_x is None:
+            from aread_tpu.ops.embedding import compute_offsets
+            from aread_tpu.ops.sparse_adam import steps_fit_kernel_jax
+
+            spec, d = self.model.spec, self.model.embed_dim
+            n_rows = int(np.sum(spec.one_hot_dims))
+            offs = jnp.asarray(np.asarray(compute_offsets(
+                spec.one_hot_dims, spec.n_seq_fields * spec.seq_maxlen,
+                spec.itemid_idx)), jnp.int32)
+
+            @jax.jit
+            def fits_x(x):
+                ids = jnp.clip(x + offs, 0, n_rows - 1)
+                ids = ids.reshape(-1, x.shape[-2] * x.shape[-1])
+                return steps_fit_kernel_jax(ids, n_rows, d)
+
+            self._fits_x = fits_x
+        return self._fits_x(x_stacked)
+
     def _snapshot(self, params, state):
         """DEVICE-resident copy (jnp.array). Mask evolution restores the
         snapshot once per candidate (reference aread.py:534-546); a host
@@ -599,10 +623,14 @@ class AREADTrainer:
         probe_stacked = self._place_stacked(
             {k: np.stack([[b[k] for b in cand] for cand in probe_all])
              for k in probe_all[0][0]}, batch_axis=2)
-        fits = cfg.sparse_table_grad and self.mesh is None and \
-            batch_fits_kernel(
-                self.model.spec, self.model.embed_dim,
-                np.stack([[b["x"] for b in cand] for cand in fa_all]))
+        # cond-free kernel dispatch precheck ON DEVICE over the already-
+        # placed stack (the host numpy sort of candidates x steps x K ids
+        # costs seconds per regroup on this image's 2 CPU cores)
+        from aread_tpu.train.trainer import kernel_dispatch_eligible
+        fits = False
+        if kernel_dispatch_eligible(cfg, self.mesh, self.model.spec,
+                                    self.model.embed_dim):
+            fits = bool(self._fits_from_x(fa_stacked["x"]))
         out_masks, out_losses = fns["fast_adapt_many"](
             snap[0], snap[1], masks0, fa_stacked, probe_stacked,
             jnp.asarray(np.stack(keys)), fits)

@@ -205,6 +205,22 @@ def batch_fits_kernel(spec, embed_dim: int, x_np) -> bool:
                             n_rows, embed_dim)
 
 
+def kernel_dispatch_eligible(config, mesh, spec, embed_dim: int,
+                             lazy_counts: bool = True) -> bool:
+    """Shared gate for the cond-free sparse-Adam kernel dispatch: the
+    per-batch fits-precheck is only meaningful when the kernel path would
+    actually run (single device, sparse table grads, exact — not lazy —
+    optimizer, TPU backend, supported layout)."""
+    if not (config.sparse_table_grad and mesh is None):
+        return False
+    if lazy_counts and config.table_optimizer == "lazy_adam":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    from aread_tpu.ops.pallas import sparse_adam_kernel as sak
+    return sak.supports(int(np.sum(spec.one_hot_dims)), embed_dim)
+
+
 def perturbation_zeros(spec, x, embed_dim: int) -> Dict:
     """Zero 'perturbations' collection matching the embedding tap."""
     return {"embedding": {"rows": jnp.zeros(x.shape + (embed_dim,),
@@ -619,58 +635,34 @@ class Trainer:
         return train_x.nbytes <= self.DEVICE_DATA_BUDGET
 
     def _kernel_dispatch_eligible(self, lazy_counts: bool = True) -> bool:
-        """Shared gate for the cond-free sparse-Adam kernel dispatch: the
-        per-batch fits-precheck is only meaningful when the kernel path
-        would actually run (single device, sparse table grads, exact —
-        not lazy — optimizer, TPU backend, supported layout)."""
-        if not (self.config.sparse_table_grad and self.mesh is None):
-            return False
-        if lazy_counts and self.config.table_optimizer == "lazy_adam":
-            return False
-        if jax.default_backend() != "tpu":
-            return False
-        from aread_tpu.ops.pallas import sparse_adam_kernel as sak
-        return sak.supports(int(np.sum(self.model.spec.one_hot_dims)),
-                            self.model.embed_dim)
+        return kernel_dispatch_eligible(self.config, self.mesh,
+                                        self.model.spec,
+                                        self.model.embed_dim,
+                                        lazy_counts=lazy_counts)
 
     def _build_epoch_fits(self):
-        """Jitted ON-DEVICE whole-epoch overflow precheck: every scan
+        """Jitted ON-DEVICE epoch-chunk overflow precheck: every scan
         step's batch must satisfy the kernel's PAD_W window (the exact
         predicate of ops/sparse_adam.steps_fit_kernel — distinct TABLE
-        rows per flat block). The host numpy variant costs >1 s/epoch on
-        this image's 2 CPU cores at Amazon scale; on device it is a
-        sequence of tiny sorts and one scalar fetch."""
+        rows per flat block). The host numpy variant costs seconds per
+        epoch on this image's 2 CPU cores at Amazon scale; on device it
+        is one batched row-sort and a scalar fetch per chunk."""
         from aread_tpu.ops.embedding import compute_offsets
-        from aread_tpu.ops.pallas import sparse_adam_kernel as sak
+        from aread_tpu.ops.sparse_adam import steps_fit_kernel_jax
 
         spec, d = self.model.spec, self.model.embed_dim
         n_rows = int(np.sum(spec.one_hot_dims))
         offs = jnp.asarray(np.asarray(compute_offsets(
             spec.one_hot_dims, spec.n_seq_fields * spec.seq_maxlen,
             spec.itemid_idx)), jnp.int32)
-        rpf = sak.LANES // d
-        n_flat = (n_rows * d) // sak.LANES
-        grid = -(-n_flat // sak.BLOCK_F)
 
         @jax.jit
         def epoch_fits(dx, perm):
-            # one BATCHED row-sort over all steps at once ([S, bs*F]) —
-            # several times faster than a scan of per-step sorts (small
-            # 1-D sorts underutilize the VPU lanes)
             S = perm.shape[0]
             gidx = jnp.where(perm < 0, perm[:, :1], perm)       # [S, bs]
             ids = jnp.clip(dx[gidx] + offs[None, None, :], 0,
                            n_rows - 1).reshape(S, -1)           # [S, K]
-            sid = jnp.sort(ids, axis=-1)
-            new = jnp.concatenate(
-                [jnp.ones((S, 1), bool), sid[:, 1:] != sid[:, :-1]], axis=1)
-            blk = (sid // rpf) // sak.BLOCK_F                   # [S, K]
-            key = (jnp.arange(S, dtype=jnp.int32)[:, None] * grid
-                   + blk).reshape(-1)
-            counts = jax.ops.segment_sum(
-                new.reshape(-1).astype(jnp.int32), key,
-                num_segments=S * grid)
-            return counts.max() <= sak.PAD_W
+            return steps_fit_kernel_jax(ids, n_rows, d)
 
         return epoch_fits
 
