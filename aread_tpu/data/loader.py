@@ -346,8 +346,11 @@ class DomainBatcher:
     def shuffle_seq(self):
         self.domain_batch_seq = list(self.rng.permutation(self.domain_batch_seq).astype(int))
 
-    def next_batch(self, d: int) -> Dict[str, np.ndarray]:
-        """Cyclic per-domain batch with StopIteration-restart semantics."""
+    def next_batch_indices(self, d: int) -> np.ndarray:
+        """Row ids of the next batch of domain ``d``, padded to bs with -1
+        (the device-resident HEMP path gathers rows by these on device;
+        same cursor/permutation stream as next_batch — the two forms are
+        interchangeable draws from one stream)."""
         idxs = self.domain_indices[d]
         if len(idxs) == 0:
             raise ValueError(f"domain {d} has no rows")
@@ -356,6 +359,14 @@ class DomainBatcher:
             self._cursors[d] = 0
         sel = self._orders[d][self._cursors[d]:self._cursors[d] + self.bs]
         self._cursors[d] += self.bs
+        out = np.full((self.bs,), -1, np.int32)
+        out[:len(sel)] = sel
+        return out
+
+    def next_batch(self, d: int) -> Dict[str, np.ndarray]:
+        """Cyclic per-domain batch with StopIteration-restart semantics."""
+        idx = self.next_batch_indices(d)
+        sel = idx[idx >= 0]
         batch = pad_batch(self.x[sel], self.y[sel], self.bs)
         batch["domain"] = np.full((self.bs,), d, dtype=np.int32)
         return batch

@@ -53,6 +53,18 @@ def _to_device_mask(mask) -> Tuple:
     return tuple(jnp.asarray(m) for m in mask)
 
 
+def gather_batch(dxc, dyc, idx):
+    """Materialize a batch on device from the HBM-resident split by row
+    ids (``idx`` [bs] int32, -1 = padding). Identical to the host
+    pad_batch semantics (loader.py): pad rows replicate the batch's first
+    row (always valid — padding is a suffix), y zeros, valid mask."""
+    valid = (idx >= 0).astype(jnp.float32)
+    gidx = jnp.where(idx < 0, idx[0], idx)
+    return {"x": dxc[gidx],
+            "y": dyc[gidx].astype(jnp.float32) * valid,
+            "valid": valid}
+
+
 class AREADTrainer:
     def __init__(self, model: AREAD, config: Config, n_domain: int, mesh=None):
         self.model = model
@@ -76,6 +88,8 @@ class AREADTrainer:
         self._improved = False
         self._fns = None
         self._fits_x = None
+        self._fits_idx = None
+        self._device_data = None  # (key, dxc, dyc, aug_offset) HBM split
         self.step_timer = profiling.StepTimer()
 
     # ------------------------------------------------------------- jitted
@@ -193,8 +207,38 @@ class AREADTrainer:
             return jax.jit(scan_fn, donate_argnums=(0, 1, 2),
                            static_argnums=(6,))
 
-        def fast_adapt(params0, state0, mask0, fa_batches, probe_batches,
-                       rng, no_overflow=False):
+        def make_scan_idx(opt, opt_lr, mode):
+            """make_scan over the HBM-resident split (config.device_data):
+            each step gathers its batch from ``dxc``/``dyc`` by row ids —
+            only the [S, bs] int32 indices cross the tunnel per chunk."""
+            def scan_fn(params, state, opt_state, dxc, dyc, idxs, dms, rng,
+                        no_overflow=False):
+                def body(carry, inp):
+                    params, state, opt_state, rng = carry
+                    idx, dm = inp
+                    rng, srng = jax.random.split(rng)
+                    params, state, opt_state, loss, gms = step_core(
+                        opt, opt_lr, mode, params, state, opt_state,
+                        gather_batch(dxc, dyc, idx), dm, srng, no_overflow)
+                    return (params, state, opt_state, rng), (loss, gms)
+
+                (params, state, opt_state, rng), (losses, gms) = jax.lax.scan(
+                    body, (params, state, opt_state, rng), (idxs, dms))
+                return params, state, opt_state, rng, losses, gms
+            return jax.jit(scan_fn, donate_argnums=(0, 1, 2),
+                           static_argnums=(8,))
+
+        def make_step_idx(opt, opt_lr, mode):
+            def step(params, state, opt_state, dxc, dyc, idx, dm, rng,
+                     no_overflow=False):
+                return step_core(opt, opt_lr, mode, params, state, opt_state,
+                                 gather_batch(dxc, dyc, idx), dm, rng,
+                                 no_overflow)
+            return jax.jit(step, donate_argnums=(0, 1, 2),
+                           static_argnums=(8,))
+
+        def _fast_adapt_impl(materialize, params0, state0, mask0, fa_items,
+                             probe_items, rng, extra, no_overflow):
             """ONE dispatch for a whole HEMP candidate (run.py:632-657):
             fresh fast-Adam init, regroup_update_step bagging steps with
             ON-DEVICE progressive pruning after each (utils.masks.
@@ -204,24 +248,29 @@ class AREADTrainer:
             two table-sized zeros inits, a dispatch per fast step and a
             30-70 ms tunnel fetch per gate record; this replaces ~8 host
             round trips with one. ``params0/state0`` are the snapshot and
-            are NOT donated — every candidate restarts from them."""
+            are NOT donated — every candidate restarts from them.
+            ``materialize(extra, item) -> batch`` abstracts the feed: host
+            batch stacks pass through; the device-resident path gathers
+            rows from the HBM split by index (gather_batch)."""
             opt_state = hybrid_init(fast_opt, params0,
                                     moments_dtype=cfg.table_moments_dtype)
 
-            def body(carry, batch):
+            def body(carry, item):
                 params, state, opt_state, mask, rng = carry
                 rng, srng = jax.random.split(rng)
                 params, state, opt_state, _, gms = step_core(
                     fast_opt, cfg.update_lr, "domain_mask_bagging", params,
-                    state, opt_state, batch, mask, srng, no_overflow)
+                    state, opt_state, materialize(extra, item), mask, srng,
+                    no_overflow)
                 from aread_tpu.utils.masks import prune_mask_jax
                 mask = prune_mask_jax(mask, gms, prun_ratio=0.05)
                 return (params, state, opt_state, mask, rng), 0.0
 
             (params, state, _, mask, _), _ = jax.lax.scan(
-                body, (params0, state0, opt_state, mask0, rng), fa_batches)
+                body, (params0, state0, opt_state, mask0, rng), fa_items)
 
-            def probe(batch):
+            def probe(item):
+                batch = materialize(extra, item)
                 out = model.apply({"params": params, **state}, batch["x"],
                                   domain_mask=mask, mode="domain_with_mask",
                                   train=False)
@@ -235,7 +284,10 @@ class AREADTrainer:
             # full-table pass, paid once instead of once per probe
             reg = regularization_loss(params, reg_rules) \
                 + table_reg_value(params["embedding"]["table"])
-            return mask, jax.lax.map(probe, probe_batches) + reg
+            return mask, jax.lax.map(probe, probe_items) + reg
+
+        _passthrough = lambda extra, batch: batch
+        _gather = lambda extra, idx: gather_batch(extra[0], extra[1], idx)
 
         def fast_adapt_many(params0, state0, masks0, fa_batches,
                             probe_batches, rngs, no_overflow=False):
@@ -249,10 +301,23 @@ class AREADTrainer:
             this image) into one."""
             def one(inp):
                 mask0, fa, probe, rng = inp
-                return fast_adapt(params0, state0, mask0, fa, probe, rng,
-                                  no_overflow)
+                return _fast_adapt_impl(_passthrough, params0, state0,
+                                        mask0, fa, probe, rng, (),
+                                        no_overflow)
             return jax.lax.map(one, (masks0, fa_batches, probe_batches,
                                      rngs))
+
+        def fast_adapt_many_idx(params0, state0, masks0, dxc, dyc, fa_idxs,
+                                probe_idxs, rngs, no_overflow=False):
+            """fast_adapt_many over the HBM-resident split: candidates'
+            fast-adapt/probe batches arrive as [N, S, bs] row-id stacks
+            and gather on device — only indices cross the tunnel."""
+            def one(inp):
+                mask0, fa, probe, rng = inp
+                return _fast_adapt_impl(_gather, params0, state0, mask0,
+                                        fa, probe, rng, (dxc, dyc),
+                                        no_overflow)
+            return jax.lax.map(one, (masks0, fa_idxs, probe_idxs, rngs))
 
         @jax.jit
         def eval_loss_multi(params, state, batches, dm):
@@ -318,15 +383,22 @@ class AREADTrainer:
             return accum
 
         self._fns = {
-            "fast_adapt": jax.jit(fast_adapt, static_argnums=(6,)),
             "fast_adapt_many": jax.jit(fast_adapt_many, static_argnums=(6,)),
+            "fast_adapt_many_idx": jax.jit(fast_adapt_many_idx,
+                                           static_argnums=(8,)),
             "accum": make_accum("domain_with_mask"),
             "accum_final": make_accum("domain_mask_final"),
             "main_step": make_step(main_opt, cfg.lr, "domain_mask_bagging"),
             "main_scan": make_scan(main_opt, cfg.lr, "domain_mask_bagging"),
+            "main_step_idx": make_step_idx(main_opt, cfg.lr,
+                                           "domain_mask_bagging"),
+            "main_scan_idx": make_scan_idx(main_opt, cfg.lr,
+                                           "domain_mask_bagging"),
             "fast_step": make_step(fast_opt, cfg.update_lr, "domain_mask_bagging"),
             "warmup_step": make_step(main_opt, cfg.lr, "wo_mask"),
             "warmup_scan": make_scan(main_opt, cfg.lr, "wo_mask"),
+            "warmup_step_idx": make_step_idx(main_opt, cfg.lr, "wo_mask"),
+            "warmup_scan_idx": make_scan_idx(main_opt, cfg.lr, "wo_mask"),
             "final_step": make_step(final_opt, cfg.final_lr, "domain_mask_final"),
             "final_scan": make_scan(final_opt, cfg.final_lr, "domain_mask_final"),
             "final_opt": final_opt,
@@ -360,6 +432,49 @@ class AREADTrainer:
 
             self._fits_x = fits_x
         return self._fits_x(x_stacked)
+
+    def _fits_from_idx(self, dxc, idxs):
+        """Device-side kernel-window precheck from [S, bs] row ids into
+        the HBM-resident split (per-step predicate, one batched sort)."""
+        if self._fits_idx is None:
+            from aread_tpu.ops.embedding import compute_offsets
+            from aread_tpu.ops.sparse_adam import steps_fit_kernel_jax
+
+            spec, d = self.model.spec, self.model.embed_dim
+            n_rows = int(np.sum(spec.one_hot_dims))
+            offs = jnp.asarray(np.asarray(compute_offsets(
+                spec.one_hot_dims, spec.n_seq_fields * spec.seq_maxlen,
+                spec.itemid_idx)), jnp.int32)
+
+            @jax.jit
+            def fits_idx(dxc, idxs):
+                gidx = jnp.where(idxs < 0, idxs[:, :1], idxs)
+                ids = jnp.clip(dxc[gidx] + offs[None, None, :], 0, n_rows - 1)
+                return steps_fit_kernel_jax(
+                    ids.reshape(idxs.shape[0], -1), n_rows, d)
+
+            self._fits_idx = fits_idx
+        return self._fits_idx(dxc, idxs)
+
+    def device_data_enabled(self, train_x: np.ndarray,
+                            aug_x: np.ndarray) -> bool:
+        """config.device_data for the HEMP path: train + augmented splits
+        both become HBM-resident (one concatenated array; aug batches are
+        train-offset row ids)."""
+        cfg = self.config.device_data
+        if cfg == "0":
+            return False
+        if self.mesh is not None:
+            if cfg == "1":
+                raise ValueError(
+                    "device_data=1 is not supported on mesh runs; use "
+                    "device_data=auto/0 with a mesh")
+            return False
+        total = train_x.nbytes + (0 if aug_x is train_x else aug_x.nbytes)
+        if cfg == "1":
+            return True
+        from aread_tpu.train.trainer import Trainer
+        return total <= Trainer.DEVICE_DATA_BUDGET
 
     def _snapshot(self, params, state):
         """DEVICE-resident copy (jnp.array). Mask evolution restores the
@@ -428,28 +543,54 @@ class AREADTrainer:
         regroup_interval = max(1, (cfg.regroup_interval * 1024) // cfg.bs)
 
         losses: List[float] = []
+        device = self._device_data is not None
+        if device:
+            _, dxc, dyc, _ = self._device_data
 
-        def flush(params, state, opt_state, rng, scan_fn, step_fn, pending):
-            """Run the pending [(d, batch_np, mask, record)] steps on
-            device — one lax.scan dispatch for a full chunk, single jitted
-            steps for partial chunks (a scan per distinct length would
+        def flush(params, state, opt_state, rng, kind, pending):
+            """Run the pending [(d, idx_np, mask, record)] steps on device
+            — one lax.scan dispatch for a full chunk, single jitted steps
+            for partial chunks (a scan per distinct length would
             recompile, and compiles over this image's TPU tunnel cost
-            minutes). Flagged per-step gate means are recorded after."""
-            from aread_tpu.train.trainer import batch_fits_kernel
+            minutes). Steps are scheduled as ROW IDS; with the split
+            HBM-resident (config.device_data) only the [S, bs] indices
+            cross the tunnel and batches gather on device; otherwise rows
+            are staged host-side (identical semantics — one shared index
+            stream). Flagged per-step gate means are recorded after."""
+            from aread_tpu.train.trainer import (batch_fits_kernel,
+                                                 kernel_dispatch_eligible)
             spec, ed = self.model.spec, self.model.embed_dim
-            not_lazy = cfg.table_optimizer != "lazy_adam"
+            eligible = kernel_dispatch_eligible(cfg, self.mesh, spec, ed)
+
+            def host_batch(idx_np):
+                from aread_tpu.data.loader import pad_batch
+                sel = idx_np[idx_np >= 0]
+                return pad_batch(train_batcher.x[sel], train_batcher.y[sel],
+                                 cfg.bs)
+
             if len(pending) == self.SCAN_CHUNK:
-                stacked_np = {k: np.stack([p[1][k] for p in pending])
-                              for k in pending[0][1]}
-                fits = cfg.sparse_table_grad and self.mesh is None and \
-                    not_lazy and batch_fits_kernel(spec, ed, stacked_np["x"])
-                batches = self._place_stacked(stacked_np)
                 dms = tuple(jnp.asarray(np.stack([np.asarray(p[2][l]) for p in pending]))
                             for l in range(len(pending[0][2])))
-                n_ex = int(sum(p[1]["valid"].sum() for p in pending))
-                with self.step_timer.step(n_examples=n_ex):
-                    params, state, opt_state, rng, ls, gms = scan_fn(
-                        params, state, opt_state, batches, dms, rng, fits)
+                n_ex = int(sum((p[1] >= 0).sum() for p in pending))
+                if device:
+                    idxs = jnp.asarray(np.stack([p[1] for p in pending]))
+                    fits = eligible and bool(self._fits_from_idx(dxc, idxs))
+                    with self.step_timer.step(n_examples=n_ex):
+                        params, state, opt_state, rng, ls, gms = \
+                            fns[f"{kind}_scan_idx"](params, state, opt_state,
+                                                    dxc, dyc, idxs, dms, rng,
+                                                    fits)
+                else:
+                    hb = [host_batch(p[1]) for p in pending]
+                    stacked_np = {k: np.stack([b[k] for b in hb])
+                                  for k in hb[0]}
+                    fits = eligible and batch_fits_kernel(spec, ed,
+                                                          stacked_np["x"])
+                    batches = self._place_stacked(stacked_np)
+                    with self.step_timer.step(n_examples=n_ex):
+                        params, state, opt_state, rng, ls, gms = \
+                            fns[f"{kind}_scan"](params, state, opt_state,
+                                                batches, dms, rng, fits)
                 losses.append(ls)  # device [S]; fetched once at epoch end
                 if any(p[3] for p in pending):
                     # gate means are only needed on host for the recording
@@ -461,15 +602,29 @@ class AREADTrainer:
                         if record:
                             ms.record_gates(d, [g[i] for g in gms_np])
                 return params, state, opt_state, rng
-            for d, batch_np, mask, record in pending:
-                fits = cfg.sparse_table_grad and self.mesh is None and \
-                    not_lazy and batch_fits_kernel(spec, ed, batch_np["x"])
-                batch = self._place(batch_np)
+            for d, idx_np, mask, record in pending:
                 rng, srng = jax.random.split(rng)
-                with self.step_timer.step(n_examples=int(batch_np["valid"].sum())):
-                    params, state, opt_state, loss, gms = step_fn(
-                        params, state, opt_state, batch, _to_device_mask(mask),
-                        srng, fits)
+                n_ex = int((idx_np >= 0).sum())
+                if device:
+                    idx = jnp.asarray(idx_np)
+                    fits = eligible and bool(
+                        self._fits_from_idx(dxc, idx[None, :]))
+                    with self.step_timer.step(n_examples=n_ex):
+                        params, state, opt_state, loss, gms = \
+                            fns[f"{kind}_step_idx"](params, state, opt_state,
+                                                    dxc, dyc, idx,
+                                                    _to_device_mask(mask),
+                                                    srng, fits)
+                else:
+                    batch_np = host_batch(idx_np)
+                    fits = eligible and batch_fits_kernel(spec, ed,
+                                                          batch_np["x"])
+                    batch = self._place(batch_np)
+                    with self.step_timer.step(n_examples=n_ex):
+                        params, state, opt_state, loss, gms = \
+                            fns[f"{kind}_step"](params, state, opt_state,
+                                                batch, _to_device_mask(mask),
+                                                srng, fits)
                 losses.append(loss)  # device scalar; fetched at epoch end
                 if record:
                     ms.record_gates(d, [np.asarray(g) for g in gms])
@@ -485,14 +640,15 @@ class AREADTrainer:
                 if not domain_list:
                     domain_list = list(range(self.n_domain))
                 d = domain_list.pop()
-                pending.append((d, train_batcher.next_batch(d), full, True))
+                pending.append((d, train_batcher.next_batch_indices(d),
+                                full, True))
                 if len(pending) == self.SCAN_CHUNK:
                     params, state, opt_state, rng = flush(
-                        params, state, opt_state, rng, fns["warmup_scan"], fns["warmup_step"], pending)
+                        params, state, opt_state, rng, "warmup", pending)
                     pending = []
             if pending:
                 params, state, opt_state, rng = flush(
-                    params, state, opt_state, rng, fns["warmup_scan"], fns["warmup_step"], pending)
+                    params, state, opt_state, rng, "warmup", pending)
             losses.clear()  # warm-up losses are not epoch losses
 
         seq = train_batcher.domain_batch_seq
@@ -502,22 +658,22 @@ class AREADTrainer:
                 if (epoch_i == 0 and i == 0) or ((i + 1) % regroup_interval == 0):
                     if pending:  # keep step/evolution ordering exact
                         params, state, opt_state, rng = flush(
-                            params, state, opt_state, rng, fns["main_scan"], fns["main_step"], pending)
+                            params, state, opt_state, rng, "main", pending)
                         pending = []
                     with profiling.annotate("hemp_mask_evolution"):
                         params, state, rng = self._mask_evolution(
                             params, state, train_batcher, aug_batcher, rng, verbose)
                 record = ((i + 1) // regroup_interval
                           - (i + 1 + warm_up_interval) // regroup_interval) > 0
-                pending.append((d, train_batcher.next_batch(d),
+                pending.append((d, train_batcher.next_batch_indices(d),
                                 [m.copy() for m in ms.domain_mask[d]], record))
                 if len(pending) == self.SCAN_CHUNK:
                     params, state, opt_state, rng = flush(
-                        params, state, opt_state, rng, fns["main_scan"], fns["main_step"], pending)
+                        params, state, opt_state, rng, "main", pending)
                     pending = []
             if pending:
                 params, state, opt_state, rng = flush(
-                    params, state, opt_state, rng, fns["main_scan"], fns["main_step"], pending)
+                    params, state, opt_state, rng, "main", pending)
         from aread_tpu.train.trainer import mean_losses
         return params, state, opt_state, rng, mean_losses(losses)
 
@@ -586,30 +742,40 @@ class AREADTrainer:
             print(f"regroup {self.regroup_times}: sigma={self.random_modify_sigma:.4f} "
                   f"active%={self.init_active_percent:.3f} candidates={n_cand}")
         t0 = time.time()
-        from aread_tpu.train.trainer import batch_fits_kernel
-        # stage every candidate's mask + batches host-side, then run the
-        # ENTIRE regroup (domains x candidates: fresh fast Adam from the
-        # snapshot + update steps with on-device pruning + eval probes) in
-        # ONE device dispatch
+        # stage every candidate's mask + batch schedule host-side, then run
+        # the ENTIRE regroup (domains x candidates: fresh fast Adam from
+        # the snapshot + update steps with on-device pruning + eval probes)
+        # in ONE device dispatch
+        device = self._device_data is not None
+        aug_off = self._device_data[3] if device else 0
         cand_index: List[Tuple[int, int]] = []
         masks_np: List[List[np.ndarray]] = []
-        fa_all: List[List[Dict]] = []
-        probe_all: List[List[Dict]] = []
+        fa_all: List[List] = []
+        probe_all: List[List] = []
         keys = []
         for d in range(self.n_domain):
             # fall back to original train data for domains the augmented
             # file doesn't cover (possible for tiny subsamples)
-            fa_batcher = aug_batcher if len(aug_batcher.domain_indices[d]) \
-                else train_batcher
+            use_aug = len(aug_batcher.domain_indices[d]) > 0
+            fa_batcher = aug_batcher if use_aug else train_batcher
             for z in range(n_cand):
                 masks_np.append(ms.generate_mask(
                     "mask_max_gate", d,
                     init_active_percent=self.init_active_percent,
                     random_modify_sigma=self.random_modify_sigma))
-                fa_all.append([fa_batcher.next_batch(d)
-                               for _ in range(cfg.regroup_update_step)])
-                probe_all.append([train_batcher.next_batch(d)
-                                  for _ in range(cfg.regroup_eval_step)])
+                if device:
+                    fa = [fa_batcher.next_batch_indices(d)
+                          for _ in range(cfg.regroup_update_step)]
+                    if use_aug and aug_off:
+                        fa = [np.where(i >= 0, i + aug_off, -1) for i in fa]
+                    fa_all.append(fa)
+                    probe_all.append([train_batcher.next_batch_indices(d)
+                                      for _ in range(cfg.regroup_eval_step)])
+                else:
+                    fa_all.append([fa_batcher.next_batch(d)
+                                   for _ in range(cfg.regroup_update_step)])
+                    probe_all.append([train_batcher.next_batch(d)
+                                      for _ in range(cfg.regroup_eval_step)])
                 rng, srng = jax.random.split(rng)
                 keys.append(np.asarray(srng))
                 cand_index.append((d, z))
@@ -617,23 +783,32 @@ class AREADTrainer:
         masks0 = tuple(
             jnp.asarray(np.stack([np.asarray(m[li]) for m in masks_np]))
             for li in range(len(masks_np[0])))
-        fa_stacked = self._place_stacked(
-            {k: np.stack([[b[k] for b in cand] for cand in fa_all])
-             for k in fa_all[0][0]}, batch_axis=2)
-        probe_stacked = self._place_stacked(
-            {k: np.stack([[b[k] for b in cand] for cand in probe_all])
-             for k in probe_all[0][0]}, batch_axis=2)
-        # cond-free kernel dispatch precheck ON DEVICE over the already-
-        # placed stack (the host numpy sort of candidates x steps x K ids
-        # costs seconds per regroup on this image's 2 CPU cores)
         from aread_tpu.train.trainer import kernel_dispatch_eligible
-        fits = False
-        if kernel_dispatch_eligible(cfg, self.mesh, self.model.spec,
-                                    self.model.embed_dim):
-            fits = bool(self._fits_from_x(fa_stacked["x"]))
-        out_masks, out_losses = fns["fast_adapt_many"](
-            snap[0], snap[1], masks0, fa_stacked, probe_stacked,
-            jnp.asarray(np.stack(keys)), fits)
+        eligible = kernel_dispatch_eligible(cfg, self.mesh, self.model.spec,
+                                            self.model.embed_dim)
+        if device:
+            _, dxc, dyc, _ = self._device_data
+            fa_idxs = jnp.asarray(np.stack(fa_all))        # [N, S, bs]
+            probe_idxs = jnp.asarray(np.stack(probe_all))
+            fits = eligible and bool(self._fits_from_idx(
+                dxc, fa_idxs.reshape(-1, fa_idxs.shape[-1])))
+            out_masks, out_losses = fns["fast_adapt_many_idx"](
+                snap[0], snap[1], masks0, dxc, dyc, fa_idxs, probe_idxs,
+                jnp.asarray(np.stack(keys)), fits)
+        else:
+            fa_stacked = self._place_stacked(
+                {k: np.stack([[b[k] for b in cand] for cand in fa_all])
+                 for k in fa_all[0][0]}, batch_axis=2)
+            probe_stacked = self._place_stacked(
+                {k: np.stack([[b[k] for b in cand] for cand in probe_all])
+                 for k in probe_all[0][0]}, batch_axis=2)
+            # cond-free kernel dispatch precheck ON DEVICE over the
+            # already-placed stack (the host numpy sort of candidates x
+            # steps x K ids costs seconds per regroup on 2 CPU cores)
+            fits = eligible and bool(self._fits_from_x(fa_stacked["x"]))
+            out_masks, out_losses = fns["fast_adapt_many"](
+                snap[0], snap[1], masks0, fa_stacked, probe_stacked,
+                jnp.asarray(np.stack(keys)), fits)
         out_masks = [np.asarray(m) for m in out_masks]
         out_losses = np.asarray(out_losses)
         for i, (d, z) in enumerate(cand_index):
@@ -734,6 +909,22 @@ class AREADTrainer:
         aug_b = DomainBatcher(aug_x, aug_y, cfg.bs, data.spec.domain_idx,
                               self.n_domain, seed=cfg.seed + 1)
 
+        # device-resident split (config.device_data): train (+ augmented)
+        # rows live in HBM as one concatenated array; batches/candidate
+        # probes gather on device by row id — per-chunk host staging and
+        # host-side kernel prechecks disappear
+        self._device_data = None
+        if self.device_data_enabled(data.train_x, aug_x):
+            key = (id(data.train_x), id(aug_x), data.train_x.shape)
+            if aug_x is data.train_x:
+                xc, yc, aug_off = data.train_x, data.train_y, 0
+            else:
+                xc = np.concatenate([data.train_x, aug_x])
+                yc = np.concatenate([data.train_y, aug_y])
+                aug_off = data.train_x.shape[0]
+            self._device_data = (key, jax.device_put(jnp.asarray(xc)),
+                                 jax.device_put(jnp.asarray(yc)), aug_off)
+
         init_rng, rng = jax.random.split(rng)
         sample = train_b.next_batch(int(np.argmax([len(i) for i in train_b.domain_indices])))
         params, state, opt_state = self.init(init_rng, sample)
@@ -821,6 +1012,9 @@ class AREADTrainer:
                         "regroup_times": self.regroup_times})
             if not cont:
                 break
+        # release the HBM split copy (post-fit eval/serving must not keep
+        # ~2.5 GB pinned at Amazon scale)
+        self._device_data = None
 
         if self.best_checkpoint is not None:
             snap, masks, _ = self.best_checkpoint

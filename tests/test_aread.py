@@ -144,3 +144,37 @@ def test_hemp_final_gate_smoke():
     phases = [h.get("phase") for h in result["history"]]
     assert "final_gate" in phases
     assert np.isfinite(result["test"]["total_auc"])
+
+
+def test_hemp_device_data_matches_host_path():
+    """AREAD/HEMP over the HBM-resident split (config.device_data='1':
+    index-gathered batches, device fast-adapt/probe stacks) must be
+    numerically identical to the host-staged path — shared index stream,
+    same rng chain, same pad semantics (loader pad_batch/gather_batch)."""
+    import dataclasses
+
+    import jax
+
+    data = make_synthetic_data(n_rows=640, n_domain=3, vocab=60, seed=4)
+    base = Config(model="aread", bs=96, lr=1e-3, embed_dim=8,
+                  warm_up_interval=1, regroup_interval=2,
+                  regroup_update_step=2, regroup_eval_step=2,
+                  candidate_mask_num=2, epoch=1)
+
+    def run(mode):
+        cfg = dataclasses.replace(base, device_data=mode)
+        trainer = AREADTrainer(_model(data.spec, data.n_domain), cfg,
+                               data.n_domain)
+        return trainer.fit(data, epochs=1, verbose=False)
+
+    host = run("0")
+    dev = run("1")
+    for a, b in zip(jax.tree_util.tree_leaves(host["params"]),
+                    jax.tree_util.tree_leaves(dev["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    for mh, md in zip(host["domain_mask"], dev["domain_mask"]):
+        for lh, ld in zip(mh, md):
+            np.testing.assert_array_equal(lh, ld)
+    assert host["test"]["total_auc"] == pytest.approx(
+        dev["test"]["total_auc"], abs=1e-6)
