@@ -752,7 +752,12 @@ class AREADTrainer:
         masks_np: List[List[np.ndarray]] = []
         fa_all: List[List] = []
         probe_all: List[List] = []
-        keys = []
+        # ONE batched split for all candidates (a split per candidate is a
+        # tiny device dispatch + host fetch each — 50 tunnel round trips
+        # per regroup); keys[0] advances the caller's chain
+        all_keys = np.asarray(jax.random.split(rng, self.n_domain * n_cand + 1))
+        rng = jnp.asarray(all_keys[0])
+        keys = list(all_keys[1:])
         for d in range(self.n_domain):
             # fall back to original train data for domains the augmented
             # file doesn't cover (possible for tiny subsamples)
@@ -776,8 +781,6 @@ class AREADTrainer:
                                    for _ in range(cfg.regroup_update_step)])
                     probe_all.append([train_batcher.next_batch(d)
                                       for _ in range(cfg.regroup_eval_step)])
-                rng, srng = jax.random.split(rng)
-                keys.append(np.asarray(srng))
                 cand_index.append((d, z))
 
         masks0 = tuple(
