@@ -171,10 +171,15 @@ class Config:
     streaming_eval: bool = False  # device-resident histogram AUC (scales
     # across the mesh; only [n_domain, auc_bins] histograms reach the host)
     auc_bins: int = 16384
-    # failure detection (parallel/health.py): raise HealthError when a
-    # train epoch exceeds this many seconds (hung collective / dead host /
-    # stuck infeed). 0 = off. Pair with --elastic for restart-and-resume.
+    # failure detection (parallel/health.py): watchdog deadline per train
+    # epoch, seconds; 0 = off. A breach is logged when it fires and raises
+    # HealthError when the epoch eventually returns (slow-but-completing
+    # epochs). A PERMANENTLY hung epoch (dead host, stuck collective)
+    # never returns to Python — set epoch_timeout_kill for those: the
+    # watchdog hard-exits the process (code 42) so an orchestrator can
+    # reschedule; pair with --elastic for restart-and-resume.
     epoch_timeout_s: float = 0.0
+    epoch_timeout_kill: bool = False
 
     def domain2group(self) -> Optional[Tuple[int, ...]]:
         """Precomputed domain->group map (reference config.py:67-74), or

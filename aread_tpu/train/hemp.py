@@ -89,7 +89,7 @@ class AREADTrainer:
         self._fns = None
         self._fits_x = None
         self._fits_idx = None
-        self._device_data = None  # (key, dxc, dyc, aug_offset) HBM split
+        self._device_data = None  # (dxc, dyc, aug_offset) HBM split
         self.step_timer = profiling.StepTimer()
 
     # ------------------------------------------------------------- jitted
@@ -435,25 +435,12 @@ class AREADTrainer:
 
     def _fits_from_idx(self, dxc, idxs):
         """Device-side kernel-window precheck from [S, bs] row ids into
-        the HBM-resident split (per-step predicate, one batched sort)."""
+        the HBM-resident split (per-step predicate, one batched sort —
+        trainer.build_fits_from_rows, shared with the generic trainer)."""
         if self._fits_idx is None:
-            from aread_tpu.ops.embedding import compute_offsets
-            from aread_tpu.ops.sparse_adam import steps_fit_kernel_jax
-
-            spec, d = self.model.spec, self.model.embed_dim
-            n_rows = int(np.sum(spec.one_hot_dims))
-            offs = jnp.asarray(np.asarray(compute_offsets(
-                spec.one_hot_dims, spec.n_seq_fields * spec.seq_maxlen,
-                spec.itemid_idx)), jnp.int32)
-
-            @jax.jit
-            def fits_idx(dxc, idxs):
-                gidx = jnp.where(idxs < 0, idxs[:, :1], idxs)
-                ids = jnp.clip(dxc[gidx] + offs[None, None, :], 0, n_rows - 1)
-                return steps_fit_kernel_jax(
-                    ids.reshape(idxs.shape[0], -1), n_rows, d)
-
-            self._fits_idx = fits_idx
+            from aread_tpu.train.trainer import build_fits_from_rows
+            self._fits_idx = build_fits_from_rows(self.model.spec,
+                                                  self.model.embed_dim)
         return self._fits_idx(dxc, idxs)
 
     def device_data_enabled(self, train_x: np.ndarray,
@@ -461,20 +448,29 @@ class AREADTrainer:
         """config.device_data for the HEMP path: train + augmented splits
         both become HBM-resident (one concatenated array; aug batches are
         train-offset row ids)."""
-        cfg = self.config.device_data
-        if cfg == "0":
-            return False
-        if self.mesh is not None:
-            if cfg == "1":
-                raise ValueError(
-                    "device_data=1 is not supported on mesh runs; use "
-                    "device_data=auto/0 with a mesh")
-            return False
+        from aread_tpu.train.trainer import (Trainer,
+                                             device_data_mode_enabled)
         total = train_x.nbytes + (0 if aug_x is train_x else aug_x.nbytes)
-        if cfg == "1":
-            return True
-        from aread_tpu.train.trainer import Trainer
-        return total <= Trainer.DEVICE_DATA_BUDGET
+        return device_data_mode_enabled(self.config, self.mesh, total,
+                                        Trainer.DEVICE_DATA_BUDGET)
+
+    def stage_device_data(self, train_x, train_y, aug_x, aug_y) -> bool:
+        """Place the [train; augmented] concatenation in HBM when
+        config.device_data allows; returns whether the device-resident
+        path is active. Aug row ids shift by the train length (no shift
+        when the splits alias — no augmentation file)."""
+        self._device_data = None
+        if not self.device_data_enabled(train_x, aug_x):
+            return False
+        if aug_x is train_x:
+            xc, yc, aug_off = train_x, train_y, 0
+        else:
+            xc = np.concatenate([train_x, aug_x])
+            yc = np.concatenate([train_y, aug_y])
+            aug_off = train_x.shape[0]
+        self._device_data = (jax.device_put(xc), jax.device_put(yc),
+                             aug_off)
+        return True
 
     def _snapshot(self, params, state):
         """DEVICE-resident copy (jnp.array). Mask evolution restores the
@@ -545,7 +541,7 @@ class AREADTrainer:
         losses: List[float] = []
         device = self._device_data is not None
         if device:
-            _, dxc, dyc, _ = self._device_data
+            dxc, dyc, _ = self._device_data
 
         def flush(params, state, opt_state, rng, kind, pending):
             """Run the pending [(d, idx_np, mask, record)] steps on device
@@ -747,7 +743,7 @@ class AREADTrainer:
         # the snapshot + update steps with on-device pruning + eval probes)
         # in ONE device dispatch
         device = self._device_data is not None
-        aug_off = self._device_data[3] if device else 0
+        aug_off = self._device_data[2] if device else 0
         cand_index: List[Tuple[int, int]] = []
         masks_np: List[List[np.ndarray]] = []
         fa_all: List[List] = []
@@ -790,7 +786,7 @@ class AREADTrainer:
         eligible = kernel_dispatch_eligible(cfg, self.mesh, self.model.spec,
                                             self.model.embed_dim)
         if device:
-            _, dxc, dyc, _ = self._device_data
+            dxc, dyc, _ = self._device_data
             fa_idxs = jnp.asarray(np.stack(fa_all))        # [N, S, bs]
             probe_idxs = jnp.asarray(np.stack(probe_all))
             fits = eligible and bool(self._fits_from_idx(
@@ -885,6 +881,19 @@ class AREADTrainer:
             verbose: bool = True, final_gate: Optional[bool] = None,
             warm_start: Optional[Dict] = None,
             ckpt_dir: Optional[str] = None) -> Dict:
+        try:
+            return self._fit_inner(data, rng=rng, epochs=epochs,
+                                   verbose=verbose, final_gate=final_gate,
+                                   warm_start=warm_start, ckpt_dir=ckpt_dir)
+        finally:
+            # release the HBM split copy even on watchdog/eval failures
+            # (post-fit eval/serving must not keep ~2.5 GB pinned)
+            self._device_data = None
+
+    def _fit_inner(self, data: SplitData, rng=None, epochs: Optional[int] = None,
+            verbose: bool = True, final_gate: Optional[bool] = None,
+            warm_start: Optional[Dict] = None,
+            ckpt_dir: Optional[str] = None) -> Dict:
         """``warm_start``: checkpoint dict (train.checkpoint.load_checkpoint)
         providing params/state and optionally the per-domain HEMP masks —
         the reference's is_increment restart (run.py:835-840).
@@ -916,17 +925,7 @@ class AREADTrainer:
         # rows live in HBM as one concatenated array; batches/candidate
         # probes gather on device by row id — per-chunk host staging and
         # host-side kernel prechecks disappear
-        self._device_data = None
-        if self.device_data_enabled(data.train_x, aug_x):
-            key = (id(data.train_x), id(aug_x), data.train_x.shape)
-            if aug_x is data.train_x:
-                xc, yc, aug_off = data.train_x, data.train_y, 0
-            else:
-                xc = np.concatenate([data.train_x, aug_x])
-                yc = np.concatenate([data.train_y, aug_y])
-                aug_off = data.train_x.shape[0]
-            self._device_data = (key, jax.device_put(jnp.asarray(xc)),
-                                 jax.device_put(jnp.asarray(yc)), aug_off)
+        self.stage_device_data(data.train_x, data.train_y, aug_x, aug_y)
 
         init_rng, rng = jax.random.split(rng)
         sample = train_b.next_batch(int(np.argmax([len(i) for i in train_b.domain_indices])))
@@ -984,7 +983,8 @@ class AREADTrainer:
                              epochs if epochs is not None else cfg.epoch):
             t0 = time.time()
             from aread_tpu.parallel.health import watchdog
-            with watchdog(cfg.epoch_timeout_s, tag=f"aread_epoch{epoch_i}"):
+            with watchdog(cfg.epoch_timeout_s, tag=f"aread_epoch{epoch_i}",
+                          kill_process=cfg.epoch_timeout_kill):
                 params, state, opt_state, rng, train_loss = self.train_epoch(
                     params, state, opt_state, epoch_i, train_b, aug_b, rng,
                     verbose)
@@ -1015,10 +1015,6 @@ class AREADTrainer:
                         "regroup_times": self.regroup_times})
             if not cont:
                 break
-        # release the HBM split copy (post-fit eval/serving must not keep
-        # ~2.5 GB pinned at Amazon scale)
-        self._device_data = None
-
         if self.best_checkpoint is not None:
             snap, masks, _ = self.best_checkpoint
             params, state = self._restore(snap)

@@ -205,6 +205,53 @@ def batch_fits_kernel(spec, embed_dim: int, x_np) -> bool:
                             n_rows, embed_dim)
 
 
+def build_fits_from_rows(spec, embed_dim: int):
+    """Jitted ON-DEVICE kernel-window precheck builder: returns
+    ``fits(dx, rows)`` where ``dx`` is the HBM-resident [N, F] split and
+    ``rows`` a [S, bs] int32 schedule (-1 = padding, replicated from the
+    batch's first row exactly like the gather). Computes the per-step
+    predicate of ops/sparse_adam.steps_fit_kernel as one batched row-sort
+    — the host numpy variant costs seconds per epoch on this image's 2
+    CPU cores at Amazon scale. Shared by the generic device-resident
+    epoch (Trainer) and the HEMP index feeds (AREADTrainer)."""
+    from aread_tpu.ops.embedding import compute_offsets
+    from aread_tpu.ops.sparse_adam import steps_fit_kernel_jax
+
+    n_rows = int(np.sum(spec.one_hot_dims))
+    offs = jnp.asarray(np.asarray(compute_offsets(
+        spec.one_hot_dims, spec.n_seq_fields * spec.seq_maxlen,
+        spec.itemid_idx)), jnp.int32)
+
+    @jax.jit
+    def fits(dx, rows):
+        gidx = jnp.where(rows < 0, rows[:, :1], rows)        # [S, bs]
+        ids = jnp.clip(dx[gidx] + offs[None, None, :], 0, n_rows - 1)
+        return steps_fit_kernel_jax(ids.reshape(rows.shape[0], -1),
+                                    n_rows, embed_dim)
+
+    return fits
+
+
+def device_data_mode_enabled(config, mesh, total_bytes: int,
+                             budget: int) -> bool:
+    """config.device_data gate shared by both trainers: '0' off, mesh
+    runs off ('1' on a mesh is an error, not a silent ignore), '1'
+    forced, 'auto' = fits the HBM budget."""
+    cfg = config.device_data
+    if cfg == "0":
+        return False
+    if mesh is not None:
+        if cfg == "1":
+            raise ValueError(
+                "device_data=1 is not supported on mesh runs (the epoch "
+                "paths gather from a single-device split); use "
+                "device_data=auto/0 with a mesh")
+        return False
+    if cfg == "1":
+        return True
+    return total_bytes <= budget
+
+
 def kernel_dispatch_eligible(config, mesh, spec, embed_dim: int,
                              lazy_counts: bool = True) -> bool:
     """Shared gate for the cond-free sparse-Adam kernel dispatch: the
@@ -620,19 +667,9 @@ class Trainer:
     DEVICE_DATA_BUDGET = 4 * 2**30
 
     def device_data_enabled(self, train_x: np.ndarray) -> bool:
-        cfg = self.config.device_data
-        if cfg == "0":
-            return False
-        if self.mesh is not None:
-            if cfg == "1":
-                raise ValueError(
-                    "device_data=1 is not supported on mesh runs (the "
-                    "epoch scan gathers from a single-device split); use "
-                    "device_data=auto/0 with a mesh")
-            return False
-        if cfg == "1":
-            return True
-        return train_x.nbytes <= self.DEVICE_DATA_BUDGET
+        return device_data_mode_enabled(self.config, self.mesh,
+                                        train_x.nbytes,
+                                        self.DEVICE_DATA_BUDGET)
 
     def _kernel_dispatch_eligible(self, lazy_counts: bool = True) -> bool:
         return kernel_dispatch_eligible(self.config, self.mesh,
@@ -641,30 +678,7 @@ class Trainer:
                                         lazy_counts=lazy_counts)
 
     def _build_epoch_fits(self):
-        """Jitted ON-DEVICE epoch-chunk overflow precheck: every scan
-        step's batch must satisfy the kernel's PAD_W window (the exact
-        predicate of ops/sparse_adam.steps_fit_kernel — distinct TABLE
-        rows per flat block). The host numpy variant costs seconds per
-        epoch on this image's 2 CPU cores at Amazon scale; on device it
-        is one batched row-sort and a scalar fetch per chunk."""
-        from aread_tpu.ops.embedding import compute_offsets
-        from aread_tpu.ops.sparse_adam import steps_fit_kernel_jax
-
-        spec, d = self.model.spec, self.model.embed_dim
-        n_rows = int(np.sum(spec.one_hot_dims))
-        offs = jnp.asarray(np.asarray(compute_offsets(
-            spec.one_hot_dims, spec.n_seq_fields * spec.seq_maxlen,
-            spec.itemid_idx)), jnp.int32)
-
-        @jax.jit
-        def epoch_fits(dx, perm):
-            S = perm.shape[0]
-            gidx = jnp.where(perm < 0, perm[:, :1], perm)       # [S, bs]
-            ids = jnp.clip(dx[gidx] + offs[None, None, :], 0,
-                           n_rows - 1).reshape(S, -1)           # [S, K]
-            return steps_fit_kernel_jax(ids, n_rows, d)
-
-        return epoch_fits
+        return build_fits_from_rows(self.model.spec, self.model.embed_dim)
 
     def _epoch_fits_kernel(self, dx, perm_dev) -> bool:
         """True iff the no-cond kernel dispatch is safe for EVERY step of
@@ -695,9 +709,8 @@ class Trainer:
         # data must not gather from the previous split's HBM copy
         key = (id(batcher.x), batcher.x.shape, id(batcher.y))
         if self._device_data is None or self._device_data[0] != key:
-            self._device_data = (key,
-                                 jax.device_put(jnp.asarray(batcher.x)),
-                                 jax.device_put(jnp.asarray(batcher.y)))
+            self._device_data = (key, jax.device_put(batcher.x),
+                                 jax.device_put(batcher.y))
         _, dx, dy = self._device_data
         perm_np = batcher.epoch_perm()
         losses = []
@@ -849,43 +862,54 @@ class Trainer:
 
         device_data = self.device_data_enabled(data.train_x)
         history = []
-        for epoch_i in range(start_epoch,
-                             epochs if epochs is not None else cfg.epoch):
-            t0 = time.time()
+
+        def run_epochs(params, state, opt_state, rng):
             from aread_tpu.parallel.health import watchdog
-            with watchdog(cfg.epoch_timeout_s, tag=f"train_epoch{epoch_i}"):
-                if device_data:
-                    params, state, opt_state, rng, train_loss = \
-                        self.train_epoch_device(params, state, opt_state,
-                                                batcher, rng)
-                else:
-                    params, state, opt_state, rng, train_loss = \
-                        self.train_epoch(params, state, opt_state, batcher,
-                                         rng)
-            result = self.evaluate(params, state, data.valid_x, data.valid_y,
-                                   data.domain_cnt_weight)
-            result["train_loss"] = train_loss
-            result["epoch_time_s"] = time.time() - t0
-            result["examples_per_s"] = self.step_timer.summary()["examples_per_s"]
-            history.append(result)
-            logger.log({"valid": result}, step=epoch_i + 1)
-            if verbose:
-                msg = (f"epoch {epoch_i + 1}: train_loss={train_loss:.4f} "
-                       f"valid auc={result['total_auc']:.4f} loss={result['total_loss']:.4f}")
-                if "mean_auc" in result:
-                    msg += f" mean_auc={result['mean_auc']:.4f}"
-                print(msg)
-            cont = self.is_continuable(params, state, opt_state, result, epoch_i)
-            if ckpt_dir and self._improved:
-                from aread_tpu.train.checkpoint import save_checkpoint
-                save_checkpoint(ckpt_dir, params, state, opt_state,
-                                epoch=epoch_i + 1, best_result=result,
-                                rng_key=np.asarray(rng))
-            if not cont:
-                break
-        # release the HBM split copy (~1.2 GB at Amazon scale) — eval /
-        # serving after fit must not keep it pinned
-        self._device_data = None
+            for epoch_i in range(start_epoch,
+                                 epochs if epochs is not None else cfg.epoch):
+                t0 = time.time()
+                with watchdog(cfg.epoch_timeout_s,
+                              tag=f"train_epoch{epoch_i}",
+                              kill_process=cfg.epoch_timeout_kill):
+                    if device_data:
+                        params, state, opt_state, rng, train_loss = \
+                            self.train_epoch_device(params, state, opt_state,
+                                                    batcher, rng)
+                    else:
+                        params, state, opt_state, rng, train_loss = \
+                            self.train_epoch(params, state, opt_state,
+                                             batcher, rng)
+                result = self.evaluate(params, state, data.valid_x,
+                                       data.valid_y, data.domain_cnt_weight)
+                result["train_loss"] = train_loss
+                result["epoch_time_s"] = time.time() - t0
+                result["examples_per_s"] = self.step_timer.summary()["examples_per_s"]
+                history.append(result)
+                logger.log({"valid": result}, step=epoch_i + 1)
+                if verbose:
+                    msg = (f"epoch {epoch_i + 1}: train_loss={train_loss:.4f} "
+                           f"valid auc={result['total_auc']:.4f} loss={result['total_loss']:.4f}")
+                    if "mean_auc" in result:
+                        msg += f" mean_auc={result['mean_auc']:.4f}"
+                    print(msg)
+                cont = self.is_continuable(params, state, opt_state, result, epoch_i)
+                if ckpt_dir and self._improved:
+                    from aread_tpu.train.checkpoint import save_checkpoint
+                    save_checkpoint(ckpt_dir, params, state, opt_state,
+                                    epoch=epoch_i + 1, best_result=result,
+                                    rng_key=np.asarray(rng))
+                if not cont:
+                    break
+            return params, state, opt_state, rng
+
+        try:
+            params, state, opt_state, rng = run_epochs(params, state,
+                                                       opt_state, rng)
+        finally:
+            # release the HBM split copy (~1.2 GB at Amazon scale) even on
+            # watchdog/eval failures — a restarted fit or post-fit serving
+            # must not find it pinned
+            self._device_data = None
 
         if self.best_checkpoint is not None:
             best_params, best_state, _ = self.best_checkpoint

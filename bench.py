@@ -36,6 +36,8 @@ def main():
     import jax
     # production default (config.prng_impl='rbg'): TPU-native dropout PRNG
     jax.config.update("jax_default_prng_impl", "rbg")
+    from aread_tpu.utils.jit_cache import enable as enable_jit_cache
+    enable_jit_cache()
     import jax.numpy as jnp
     import optax
 

@@ -52,6 +52,8 @@ def synth(n_rows: int, spec, seed: int = 0):
 def main():
     import jax
     jax.config.update("jax_default_prng_impl", "rbg")
+    from aread_tpu.utils.jit_cache import enable as enable_jit_cache
+    enable_jit_cache()
     import jax.numpy as jnp
 
     from aread_tpu.config import Config, DOMAIN2GROUP
@@ -124,6 +126,10 @@ def main():
     # domain sizes follow the synthetic uniform draw; DomainBatcher pads
     train_b = DomainBatcher(ax, ay, bs, spec.domain_idx, n_domain, seed=0)
     aug_b = DomainBatcher(ax, ay, bs, spec.domain_idx, n_domain, seed=1)
+    # the production fit() stages this; train_epoch is driven directly
+    # here, so stage explicitly — without it the HOST-staged path runs
+    staged = atrainer.stage_device_data(ax, ay, ax, ay)
+    print(f"aread device-resident split: {staged}", flush=True)
     rng = jax.random.PRNGKey(1)
     sample = train_b.next_batch(0)
     aparams, astate, aopt = atrainer.init(rng, sample)

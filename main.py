@@ -108,9 +108,17 @@ def load_config() -> Config:
                              "[n_domain, auc_bins] histograms reach host)")
     parser.add_argument("--auc_bins", type=int, default=16384)
     parser.add_argument("--epoch_timeout_s", type=float, default=0.0,
-                        help="failure detection: raise if a train epoch "
-                             "exceeds this many seconds (hung collective / "
-                             "dead host); 0 = off; pair with --elastic")
+                        help="failure detection: watchdog deadline per "
+                             "train epoch (0 = off). Logs at the deadline "
+                             "and raises once the epoch returns; for "
+                             "PERMANENTLY hung epochs add "
+                             "--epoch_timeout_kill; pair with --elastic")
+    parser.add_argument("--epoch_timeout_kill", action="store_true",
+                        help="hard-exit (code 42) when the epoch watchdog "
+                             "fires — the only way out of a hung "
+                             "collective that never returns to Python; an "
+                             "orchestrator then reschedules and --elastic "
+                             "resumes")
     args = parser.parse_args()
 
     if args.is_set_seed == 0:
@@ -149,6 +157,8 @@ def main():
     cfg = load_config()
     import jax
     jax.config.update("jax_default_prng_impl", cfg.prng_impl)
+    from aread_tpu.utils.jit_cache import enable as enable_jit_cache
+    enable_jit_cache()
     from aread_tpu.data.loader import load_split_data
     from aread_tpu.models import build_model
     from aread_tpu.models.aread import AREAD

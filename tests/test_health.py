@@ -46,3 +46,22 @@ def test_trainer_epoch_timeout_wired():
     trainer = Trainer(model, cfg, data.n_domain)
     with pytest.raises(HealthError):
         trainer.fit(data, epochs=1, verbose=False)
+
+
+def test_watchdog_kill_process_hard_exits():
+    """kill_process: a deadline breach hard-exits the process (code 42) —
+    the only escape from a permanently hung collective. Verified in a
+    subprocess."""
+    import subprocess
+    import sys
+
+    code = (
+        "from aread_tpu.parallel.health import watchdog\n"
+        "import time\n"
+        "with watchdog(0.05, tag='hang', kill_process=True):\n"
+        "    time.sleep(30)\n"
+    )
+    p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=60)
+    assert p.returncode == 42
+    assert "watchdog 'hang' exceeded" in p.stdout
