@@ -224,13 +224,16 @@ def steps_fit_kernel(row_ids_2d, n_rows: int, d: int) -> bool:
     return int(counts.max(initial=0)) <= sak.PAD_W
 
 
-def steps_fit_kernel_jax(ids_2d: jnp.ndarray, n_rows: int, d: int):
+def steps_fit_kernel_jax(ids_2d: jnp.ndarray, n_rows: int, d: int,
+                         per_step: bool = False):
     """steps_fit_kernel as a jittable device computation: ``ids_2d``
     [S, K] already-offset table rows, one optimizer step per row; returns
     a scalar bool (max distinct table rows per flat block over all steps
-    <= PAD_W). One batched row-sort — several times faster than a scan of
-    per-step sorts, and orders of magnitude faster than host numpy on
-    this image's 2 CPU cores."""
+    <= PAD_W), or the per-step [S] bool vector with ``per_step`` (lets a
+    scheduler fetch a whole interval's verdicts in one round trip). One
+    batched row-sort — several times faster than a scan of per-step
+    sorts, and orders of magnitude faster than host numpy on this
+    image's 2 CPU cores."""
     from aread_tpu.ops.pallas import sparse_adam_kernel as sak
 
     assert sak.supports(n_rows, d), (n_rows, d)
@@ -245,7 +248,8 @@ def steps_fit_kernel_jax(ids_2d: jnp.ndarray, n_rows: int, d: int):
     key = (jnp.arange(S, dtype=jnp.int32)[:, None] * grid + blk).reshape(-1)
     counts = jax.ops.segment_sum(new.reshape(-1).astype(jnp.int32), key,
                                  num_segments=S * grid)
-    return counts.max() <= sak.PAD_W
+    ok_s = counts.reshape(S, grid).max(axis=1) <= sak.PAD_W
+    return ok_s if per_step else ok_s.all()
 
 
 def _lazy_sparse_adam(w, m, v, uids, gsum, t, lr, b1=0.9, b2=0.99, eps=1e-8,

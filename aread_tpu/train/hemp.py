@@ -433,15 +433,17 @@ class AREADTrainer:
             self._fits_x = fits_x
         return self._fits_x(x_stacked)
 
-    def _fits_from_idx(self, dxc, idxs):
+    def _fits_from_idx(self, dxc, idxs, per_step: bool = False):
         """Device-side kernel-window precheck from [S, bs] row ids into
         the HBM-resident split (per-step predicate, one batched sort —
-        trainer.build_fits_from_rows, shared with the generic trainer)."""
+        trainer.build_fits_from_rows, shared with the generic trainer).
+        ``per_step``: [S] verdict vector instead of one bool, so a whole
+        segment's verdicts cost one round trip."""
         if self._fits_idx is None:
             from aread_tpu.train.trainer import build_fits_from_rows
             self._fits_idx = build_fits_from_rows(self.model.spec,
                                                   self.model.embed_dim)
-        return self._fits_idx(dxc, idxs)
+        return self._fits_idx(dxc, idxs, per_step=per_step)
 
     def device_data_enabled(self, train_x: np.ndarray,
                             aug_x: np.ndarray) -> bool:
@@ -542,8 +544,12 @@ class AREADTrainer:
         device = self._device_data is not None
         if device:
             dxc, dyc, _ = self._device_data
+        from aread_tpu.train.trainer import (batch_fits_kernel,
+                                             kernel_dispatch_eligible)
+        eligible = kernel_dispatch_eligible(cfg, self.mesh, self.model.spec,
+                                            self.model.embed_dim)
 
-        def flush(params, state, opt_state, rng, kind, pending):
+        def flush(params, state, opt_state, rng, kind, pending, fits=None):
             """Run the pending [(d, idx_np, mask, record)] steps on device
             — one lax.scan dispatch for a full chunk, single jitted steps
             for partial chunks (a scan per distinct length would
@@ -552,11 +558,12 @@ class AREADTrainer:
             HBM-resident (config.device_data) only the [S, bs] indices
             cross the tunnel and batches gather on device; otherwise rows
             are staged host-side (identical semantics — one shared index
-            stream). Flagged per-step gate means are recorded after."""
-            from aread_tpu.train.trainer import (batch_fits_kernel,
-                                                 kernel_dispatch_eligible)
+            stream). ``fits``: precomputed kernel-window verdict for these
+            steps (run_segment fetches a whole segment's verdicts in one
+            round trip — a per-chunk device fetch here would stall the
+            dispatch pipeline on a tunnel round trip per chunk). Flagged
+            per-step gate means are recorded after."""
             spec, ed = self.model.spec, self.model.embed_dim
-            eligible = kernel_dispatch_eligible(cfg, self.mesh, spec, ed)
 
             def host_batch(idx_np):
                 from aread_tpu.data.loader import pad_batch
@@ -570,23 +577,22 @@ class AREADTrainer:
                 n_ex = int(sum((p[1] >= 0).sum() for p in pending))
                 if device:
                     idxs = jnp.asarray(np.stack([p[1] for p in pending]))
-                    fits = eligible and bool(self._fits_from_idx(dxc, idxs))
                     with self.step_timer.step(n_examples=n_ex):
                         params, state, opt_state, rng, ls, gms = \
                             fns[f"{kind}_scan_idx"](params, state, opt_state,
                                                     dxc, dyc, idxs, dms, rng,
-                                                    fits)
+                                                    bool(fits))
                 else:
                     hb = [host_batch(p[1]) for p in pending]
                     stacked_np = {k: np.stack([b[k] for b in hb])
                                   for k in hb[0]}
-                    fits = eligible and batch_fits_kernel(spec, ed,
-                                                          stacked_np["x"])
+                    hfits = eligible and batch_fits_kernel(spec, ed,
+                                                           stacked_np["x"])
                     batches = self._place_stacked(stacked_np)
                     with self.step_timer.step(n_examples=n_ex):
                         params, state, opt_state, rng, ls, gms = \
                             fns[f"{kind}_scan"](params, state, opt_state,
-                                                batches, dms, rng, fits)
+                                                batches, dms, rng, hfits)
                 losses.append(ls)  # device [S]; fetched once at epoch end
                 if any(p[3] for p in pending):
                     # gate means are only needed on host for the recording
@@ -603,27 +609,49 @@ class AREADTrainer:
                 n_ex = int((idx_np >= 0).sum())
                 if device:
                     idx = jnp.asarray(idx_np)
-                    fits = eligible and bool(
-                        self._fits_from_idx(dxc, idx[None, :]))
                     with self.step_timer.step(n_examples=n_ex):
                         params, state, opt_state, loss, gms = \
                             fns[f"{kind}_step_idx"](params, state, opt_state,
                                                     dxc, dyc, idx,
                                                     _to_device_mask(mask),
-                                                    srng, fits)
+                                                    srng, bool(fits))
                 else:
                     batch_np = host_batch(idx_np)
-                    fits = eligible and batch_fits_kernel(spec, ed,
-                                                          batch_np["x"])
+                    hfits = eligible and batch_fits_kernel(spec, ed,
+                                                           batch_np["x"])
                     batch = self._place(batch_np)
                     with self.step_timer.step(n_examples=n_ex):
                         params, state, opt_state, loss, gms = \
                             fns[f"{kind}_step"](params, state, opt_state,
                                                 batch, _to_device_mask(mask),
-                                                srng, fits)
+                                                srng, hfits)
                 losses.append(loss)  # device scalar; fetched at epoch end
                 if record:
                     ms.record_gates(d, [np.asarray(g) for g in gms])
+            return params, state, opt_state, rng
+
+        def run_segment(params, state, opt_state, rng, kind, steps):
+            """Flush a regroup-interval segment (no evolutions inside):
+            with the split HBM-resident, the WHOLE segment's kernel-window
+            verdicts are fetched in one round trip up front, so the
+            chunked scan dispatches pipeline without per-chunk syncs."""
+            if not steps:
+                return params, state, opt_state, rng
+            ok = None
+            if device and eligible:
+                # sliced to bound the gather/sort transient (a segment can
+                # be thousands of steps; [2048, bs*F] ids is ~140 MB)
+                idxs_np = np.stack([s[1] for s in steps])
+                parts = [np.asarray(self._fits_from_idx(
+                    dxc, jnp.asarray(idxs_np[lo:lo + 2048]), per_step=True))
+                    for lo in range(0, len(steps), 2048)]
+                ok = np.concatenate(parts)
+            for lo in range(0, len(steps), self.SCAN_CHUNK):
+                chunk = steps[lo:lo + self.SCAN_CHUNK]
+                fits = (bool(ok[lo:lo + len(chunk)].all())
+                        if ok is not None else False)
+                params, state, opt_state, rng = flush(
+                    params, state, opt_state, rng, kind, chunk, fits=fits)
             return params, state, opt_state, rng
 
         if epoch_i == 0:
@@ -631,45 +659,36 @@ class AREADTrainer:
             # recording (run.py:588-607), chunked into device scans
             full = [np.ones(sh, bool) for sh in mask_shapes(self.model.n_tower)]
             domain_list: List[int] = []
-            pending = []
+            steps = []
             for i in range(warm_up_interval):
                 if not domain_list:
                     domain_list = list(range(self.n_domain))
                 d = domain_list.pop()
-                pending.append((d, train_batcher.next_batch_indices(d),
-                                full, True))
-                if len(pending) == self.SCAN_CHUNK:
-                    params, state, opt_state, rng = flush(
-                        params, state, opt_state, rng, "warmup", pending)
-                    pending = []
-            if pending:
-                params, state, opt_state, rng = flush(
-                    params, state, opt_state, rng, "warmup", pending)
+                steps.append((d, train_batcher.next_batch_indices(d),
+                              full, True))
+            params, state, opt_state, rng = run_segment(
+                params, state, opt_state, rng, "warmup", steps)
             losses.clear()  # warm-up losses are not epoch losses
 
         seq = train_batcher.domain_batch_seq
         with profiling.trace():  # no-op unless AREAD_TPU_TRACE is set
-            pending = []
+            steps = []
             for i, d in enumerate(seq):
                 if (epoch_i == 0 and i == 0) or ((i + 1) % regroup_interval == 0):
-                    if pending:  # keep step/evolution ordering exact
-                        params, state, opt_state, rng = flush(
-                            params, state, opt_state, rng, "main", pending)
-                        pending = []
+                    # keep step/evolution ordering exact: the segment's
+                    # steps run before the evolution that follows them
+                    params, state, opt_state, rng = run_segment(
+                        params, state, opt_state, rng, "main", steps)
+                    steps = []
                     with profiling.annotate("hemp_mask_evolution"):
                         params, state, rng = self._mask_evolution(
                             params, state, train_batcher, aug_batcher, rng, verbose)
                 record = ((i + 1) // regroup_interval
                           - (i + 1 + warm_up_interval) // regroup_interval) > 0
-                pending.append((d, train_batcher.next_batch_indices(d),
-                                [m.copy() for m in ms.domain_mask[d]], record))
-                if len(pending) == self.SCAN_CHUNK:
-                    params, state, opt_state, rng = flush(
-                        params, state, opt_state, rng, "main", pending)
-                    pending = []
-            if pending:
-                params, state, opt_state, rng = flush(
-                    params, state, opt_state, rng, "main", pending)
+                steps.append((d, train_batcher.next_batch_indices(d),
+                              [m.copy() for m in ms.domain_mask[d]], record))
+            params, state, opt_state, rng = run_segment(
+                params, state, opt_state, rng, "main", steps)
         from aread_tpu.train.trainer import mean_losses
         return params, state, opt_state, rng, mean_losses(losses)
 

@@ -222,12 +222,12 @@ def build_fits_from_rows(spec, embed_dim: int):
         spec.one_hot_dims, spec.n_seq_fields * spec.seq_maxlen,
         spec.itemid_idx)), jnp.int32)
 
-    @jax.jit
-    def fits(dx, rows):
+    @partial(jax.jit, static_argnames=("per_step",))
+    def fits(dx, rows, per_step=False):
         gidx = jnp.where(rows < 0, rows[:, :1], rows)        # [S, bs]
         ids = jnp.clip(dx[gidx] + offs[None, None, :], 0, n_rows - 1)
         return steps_fit_kernel_jax(ids.reshape(rows.shape[0], -1),
-                                    n_rows, embed_dim)
+                                    n_rows, embed_dim, per_step=per_step)
 
     return fits
 

@@ -87,10 +87,11 @@ def main():
     params, state, opt_state = trainer.init(rng, first)
 
     results = {}
-    for label, fn in (
+    for label, fn in (() if os.environ.get("AREAD_TPU_BENCH_EPOCH_SKIP_MMOE")
+                      else (
         ("mmoe_epoch_device", trainer.train_epoch_device),
         ("mmoe_epoch_host", trainer.train_epoch),
-    ):
+    )):
         # warm-up epoch compiles; second epoch measures
         for phase in ("compile", "measure"):
             t0 = time.perf_counter()
