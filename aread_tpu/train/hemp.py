@@ -549,7 +549,8 @@ class AREADTrainer:
         eligible = kernel_dispatch_eligible(cfg, self.mesh, self.model.spec,
                                             self.model.embed_dim)
 
-        def flush(params, state, opt_state, rng, kind, pending, fits=None):
+        def flush(params, state, opt_state, rng, kind, pending, fits=None,
+                  idxs_dev=None):
             """Run the pending [(d, idx_np, mask, record)] steps on device
             — one lax.scan dispatch for a full chunk, single jitted steps
             for partial chunks (a scan per distinct length would
@@ -576,7 +577,10 @@ class AREADTrainer:
                             for l in range(len(pending[0][2])))
                 n_ex = int(sum((p[1] >= 0).sum() for p in pending))
                 if device:
-                    idxs = jnp.asarray(np.stack([p[1] for p in pending]))
+                    # slice of the segment's device-resident index array
+                    # (no second upload of the indices)
+                    idxs = idxs_dev if idxs_dev is not None else \
+                        jnp.asarray(np.stack([p[1] for p in pending]))
                     with self.step_timer.step(n_examples=n_ex):
                         params, state, opt_state, rng, ls, gms = \
                             fns[f"{kind}_scan_idx"](params, state, opt_state,
@@ -604,11 +608,12 @@ class AREADTrainer:
                         if record:
                             ms.record_gates(d, [g[i] for g in gms_np])
                 return params, state, opt_state, rng
-            for d, idx_np, mask, record in pending:
+            for i, (d, idx_np, mask, record) in enumerate(pending):
                 rng, srng = jax.random.split(rng)
                 n_ex = int((idx_np >= 0).sum())
                 if device:
-                    idx = jnp.asarray(idx_np)
+                    idx = idxs_dev[i] if idxs_dev is not None \
+                        else jnp.asarray(idx_np)
                     with self.step_timer.step(n_examples=n_ex):
                         params, state, opt_state, loss, gms = \
                             fns[f"{kind}_step_idx"](params, state, opt_state,
@@ -630,28 +635,43 @@ class AREADTrainer:
                     ms.record_gates(d, [np.asarray(g) for g in gms])
             return params, state, opt_state, rng
 
+        FITS_SLICE = 2048
+
         def run_segment(params, state, opt_state, rng, kind, steps):
             """Flush a regroup-interval segment (no evolutions inside):
-            with the split HBM-resident, the WHOLE segment's kernel-window
-            verdicts are fetched in one round trip up front, so the
-            chunked scan dispatches pipeline without per-chunk syncs."""
+            with the split HBM-resident, the segment's [S, bs] indices are
+            uploaded ONCE (padded to a FITS_SLICE multiple so the fits
+            precheck compiles for a single shape), the WHOLE segment's
+            kernel-window verdicts are fetched in one round trip per
+            slice, and the chunk dispatches slice the device-resident
+            index array — no per-chunk index uploads or verdict syncs."""
             if not steps:
                 return params, state, opt_state, rng
-            ok = None
-            if device and eligible:
-                # sliced to bound the gather/sort transient (a segment can
-                # be thousands of steps; [2048, bs*F] ids is ~140 MB)
+            ok, idxs_dev = None, None
+            if device:
+                n = len(steps)
                 idxs_np = np.stack([s[1] for s in steps])
-                parts = [np.asarray(self._fits_from_idx(
-                    dxc, jnp.asarray(idxs_np[lo:lo + 2048]), per_step=True))
-                    for lo in range(0, len(steps), 2048)]
-                ok = np.concatenate(parts)
+                pad = -(-n // FITS_SLICE) * FITS_SLICE - n
+                if pad:
+                    # -1 rows: the fits gather replicates rows[:, :1] for
+                    # them (in-range garbage); their verdicts are discarded
+                    idxs_np = np.concatenate(
+                        [idxs_np, np.full((pad,) + idxs_np.shape[1:], -1,
+                                          idxs_np.dtype)])
+                idxs_dev = jnp.asarray(idxs_np)
+                if eligible:
+                    parts = [np.asarray(self._fits_from_idx(
+                        dxc, idxs_dev[lo:lo + FITS_SLICE], per_step=True))
+                        for lo in range(0, idxs_np.shape[0], FITS_SLICE)]
+                    ok = np.concatenate(parts)[:n]
             for lo in range(0, len(steps), self.SCAN_CHUNK):
                 chunk = steps[lo:lo + self.SCAN_CHUNK]
                 fits = (bool(ok[lo:lo + len(chunk)].all())
                         if ok is not None else False)
                 params, state, opt_state, rng = flush(
-                    params, state, opt_state, rng, kind, chunk, fits=fits)
+                    params, state, opt_state, rng, kind, chunk, fits=fits,
+                    idxs_dev=None if idxs_dev is None
+                    else idxs_dev[lo:lo + len(chunk)])
             return params, state, opt_state, rng
 
         if epoch_i == 0:

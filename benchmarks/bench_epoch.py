@@ -70,44 +70,44 @@ def main():
     n_domain = 25
     d2g = np.array(DOMAIN2GROUP["amazon"]["dcn_3groups_kl"])
 
-    # ---------------- generic trainer (MMoE), device-resident epoch
-    cfg = Config(model="mmoe", dataset_name="amazon", bs=bs,
-                 embed_dim=embed_dim, epoch=1)
-    model = build_model(cfg, spec, n_domain)
-    trainer = Trainer(model, cfg, n_domain, domain2group=d2g)
-
-    print(f"synthesizing {AMAZON_N:,} rows ...", flush=True)
-    x, y = synth(AMAZON_N, spec)
-    print(f"split: {x.nbytes / 2**30:.2f} GiB", flush=True)
-
-    rng = jax.random.PRNGKey(0)
-    batcher = GlobalBatcher(x, y, bs, spec.domain_idx, d2g, seed=0)
-    first = next(iter(GlobalBatcher(x[:bs], y[:bs], bs, spec.domain_idx,
-                                    d2g, shuffle=False)))
-    params, state, opt_state = trainer.init(rng, first)
-
     results = {}
-    for label, fn in (() if os.environ.get("AREAD_TPU_BENCH_EPOCH_SKIP_MMOE")
-                      else (
-        ("mmoe_epoch_device", trainer.train_epoch_device),
-        ("mmoe_epoch_host", trainer.train_epoch),
-    )):
-        # warm-up epoch compiles; second epoch measures
-        for phase in ("compile", "measure"):
-            t0 = time.perf_counter()
-            params, state, opt_state, rng, loss = fn(
-                params, state, opt_state, batcher, rng)
-            loss = float(loss)  # sync (tunnel returns early otherwise)
-            dt = time.perf_counter() - t0
-            eps = AMAZON_N / dt
-            print(f"{label} [{phase}]: {dt:.1f}s  {eps:,.0f} ex/s  "
-                  f"loss={loss:.4f}", flush=True)
-        results[label] = round(eps, 1)
-        if os.environ.get("AREAD_TPU_BENCH_EPOCH_SKIP_HOST"):
-            break
+    # ---------------- generic trainer (MMoE), device-resident epoch
+    if not os.environ.get("AREAD_TPU_BENCH_EPOCH_SKIP_MMOE"):
+        cfg = Config(model="mmoe", dataset_name="amazon", bs=bs,
+                     embed_dim=embed_dim, epoch=1)
+        model = build_model(cfg, spec, n_domain)
+        trainer = Trainer(model, cfg, n_domain, domain2group=d2g)
 
-    del x, y, batcher
-    trainer._device_data = None
+        print(f"synthesizing {AMAZON_N:,} rows ...", flush=True)
+        x, y = synth(AMAZON_N, spec)
+        print(f"split: {x.nbytes / 2**30:.2f} GiB", flush=True)
+
+        rng = jax.random.PRNGKey(0)
+        batcher = GlobalBatcher(x, y, bs, spec.domain_idx, d2g, seed=0)
+        first = next(iter(GlobalBatcher(x[:bs], y[:bs], bs, spec.domain_idx,
+                                        d2g, shuffle=False)))
+        params, state, opt_state = trainer.init(rng, first)
+
+        for label, fn in (
+            ("mmoe_epoch_device", trainer.train_epoch_device),
+            ("mmoe_epoch_host", trainer.train_epoch),
+        ):
+            # warm-up epoch compiles; second epoch measures
+            for phase in ("compile", "measure"):
+                t0 = time.perf_counter()
+                params, state, opt_state, rng, loss = fn(
+                    params, state, opt_state, batcher, rng)
+                loss = float(loss)  # sync (tunnel returns early otherwise)
+                dt = time.perf_counter() - t0
+                eps = AMAZON_N / dt
+                print(f"{label} [{phase}]: {dt:.1f}s  {eps:,.0f} ex/s  "
+                      f"loss={loss:.4f}", flush=True)
+            results[label] = round(eps, 1)
+            if os.environ.get("AREAD_TPU_BENCH_EPOCH_SKIP_HOST"):
+                break
+
+        del x, y, batcher
+        trainer._device_data = None
     if os.environ.get("AREAD_TPU_BENCH_EPOCH_SKIP_AREAD"):
         print(json.dumps(results))
         return
