@@ -14,11 +14,27 @@ loop of train_aread (run.py:663-681).
 vs_baseline compares against the PyTorch reference's measured examples/s on
 this container's CPU (see BASELINE.md; the reference publishes no numbers
 and this box has no GPU).
+
+Robustness (the round-1 driver run timed out with NO output — rc=124):
+ - every phase transition and a 15 s heartbeat go to stderr, so an external
+   timeout is attributable to a specific phase (TPU claim wait vs compile);
+ - the single-tenant tunneled TPU takes ~5-7 min to release a claim held by
+   a process that was KILLED (clean exits release instantly). The claim
+   happens lazily at the FIRST device execution, so that phase is bounded
+   by AREAD_TPU_BENCH_CLAIM_TIMEOUT_S (default 480 s) — on expiry a
+   diagnostic JSON line (value 0, "error": ...) is emitted so the driver
+   always gets a parseable record;
+ - SIGTERM/SIGINT (an external `timeout` sends SIGTERM) emit the same
+   diagnostic JSON line before exiting, naming the phase that was running.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import signal
+import sys
+import threading
 import time
 from functools import partial
 
@@ -29,26 +45,99 @@ import numpy as np
 # 5038 ms/step = 203.3 examples/s. See BASELINE.md.
 BASELINE_EXAMPLES_PER_SEC = 203.3
 
+_T0 = time.perf_counter()
+_PHASE = {"name": "startup"}
+_DONE = threading.Event()
+_EMITTED = threading.Event()
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T0
+
+
+def _phase(name: str) -> None:
+    _PHASE["name"] = name
+    print(f"[bench {_elapsed():7.1f}s] {name}", file=sys.stderr, flush=True)
+
+
+def _heartbeat() -> None:
+    while not _DONE.wait(15.0):
+        print(
+            f"[bench {_elapsed():7.1f}s] ... still in phase "
+            f"'{_PHASE['name']}' (tunneled TPU claim/remote-compile can take "
+            "minutes — see CLAUDE.md)",
+            file=sys.stderr, flush=True)
+
+
+def _metric_name() -> str:
+    lazy = bool(int(os.environ.get("AREAD_TPU_BENCH_LAZY", "0")))
+    moments = os.environ.get("AREAD_TPU_BENCH_MOMENTS") or None
+    return ("aread_train_examples_per_sec_per_chip"
+            + ("_lazy" if lazy else "") + ("_bf16m" if moments else ""))
+
+
+def _emit(value: float, vs, error: str | None = None) -> None:
+    if _EMITTED.is_set():
+        return
+    _EMITTED.set()
+    rec = {"metric": _metric_name(), "value": value, "unit": "examples/s",
+           "vs_baseline": vs}
+    if error:
+        rec["error"] = error
+    print(json.dumps(rec), flush=True)
+
+
+def _die_with_diagnostic(why: str, code: int) -> None:
+    _emit(0.0, 0.0, error=f"{why} during phase '{_PHASE['name']}' at "
+          f"{_elapsed():.0f}s — likely the TPU claim wait (a previously "
+          "KILLED process's session holds the single-tenant chip for "
+          "~5-7 min) or a cold terminal-side compile")
+    sys.stdout.flush()
+    os._exit(code)
+
+
+def _on_signal(signum, frame):  # noqa: ANN001 - signal handler signature
+    _die_with_diagnostic(f"killed by signal {signum}", 124)
+
+
+def _claim_watchdog(timeout_s: float) -> threading.Timer:
+    t = threading.Timer(
+        timeout_s, lambda: _die_with_diagnostic(
+            f"TPU not claimable within {timeout_s:.0f}s", 3))
+    t.daemon = True
+    t.start()
+    return t
+
 
 def main():
-    import os
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    threading.Thread(target=_heartbeat, daemon=True).start()
 
+    _phase("import jax + enable persistent compile cache")
     import jax
     # production default (config.prng_impl='rbg'): TPU-native dropout PRNG
     jax.config.update("jax_default_prng_impl", "rbg")
+    from aread_tpu.utils.device_cleanup import install as install_device_cleanup
+    install_device_cleanup()  # free HBM at exit so the NEXT process's claim
+    # is instant (a leaked ~1GB session blocks the chip for ~6 min)
     from aread_tpu.utils.jit_cache import enable as enable_jit_cache
     enable_jit_cache()
     import jax.numpy as jnp
-    import optax
 
     from aread_tpu.models.aread import AREAD, full_mask
     from aread_tpu.models.base import FeatureSpec, regularization_loss
-    from aread_tpu.train.trainer import (bce_with_logits, embedding_flat_ids,
-                                         hybrid_init, hybrid_update_sparse,
-                                         make_optimizer, masked_mean,
-                                         merge_table, perturbation_zeros,
-                                         split_table, split_variables,
-                                         strip_table_rule)
+    from aread_tpu.train.trainer import (batch_fits_kernel, bce_with_logits,
+                                         embedding_flat_ids, hybrid_init,
+                                         hybrid_update_sparse, make_optimizer,
+                                         masked_mean, merge_table,
+                                         perturbation_zeros, split_table,
+                                         split_variables, strip_table_rule)
+
+    _phase("query devices")
+    devs = jax.devices()
+    print(f"[bench {_elapsed():7.1f}s] devices: {devs}", file=sys.stderr,
+          flush=True)
 
     bs, embed_dim = 1024, 32
     # Amazon layout (run.py:52-54): itemid, weekday, domain, sales_chart,
@@ -74,6 +163,17 @@ def main():
     valid = jnp.ones((bs,), jnp.float32)
     dm = tuple(jnp.asarray(m) for m in full_mask(model.n_tower))
 
+    # The lazily-deferred single-tenant TPU claim happens at the FIRST
+    # device execution — bound it so a chip held by a dead session can't
+    # look like a silent hang (VERDICT r1 item 1a).
+    claim_timeout = float(os.environ.get(
+        "AREAD_TPU_BENCH_CLAIM_TIMEOUT_S", "480"))
+    _phase(f"first device execution (TPU claim; bounded {claim_timeout:.0f}s)")
+    wd = _claim_watchdog(claim_timeout)
+    _ = float(y.sum())
+    wd.cancel()
+
+    _phase("model.init on device")
     variables = jax.jit(
         lambda r, xx: model.init({"params": r, "dropout": r}, xx, mode="wo_mask")
     )(jax.random.PRNGKey(0), x)
@@ -82,6 +182,7 @@ def main():
     # AREAD_TPU_BENCH_MOMENTS=bfloat16: measure config.table_moments_dtype
     # ='bfloat16' (bf16 moment storage, f32 compute)
     moments_dtype = os.environ.get("AREAD_TPU_BENCH_MOMENTS") or None
+    _phase("optimizer init (Adam moments for the 1.5M-row table)")
     opt_state = hybrid_init(optimizer, params, moments_dtype=moments_dtype)
     # table L2 GRADIENT folds into the fused Adam kernel; its VALUE (the
     # reference's printed-loss term, run.py:505) accumulates inside the
@@ -99,7 +200,6 @@ def main():
     # exact mode — it is the apples-to-apples number vs the reference.
     lazy = bool(int(os.environ.get("AREAD_TPU_BENCH_LAZY", "0")))
     # host-checked no-cond fast dispatch, exactly as the trainers do it
-    from aread_tpu.train.trainer import batch_fits_kernel
     fits = not lazy and batch_fits_kernel(spec, embed_dim, np.asarray(x))
 
     def one_step(carry, rng):
@@ -155,10 +255,12 @@ def main():
     # warmup / compile. NOTE: a host transfer (float(loss)) is the sync
     # point — on this image's tunneled TPU backend, block_until_ready
     # returns before device execution finishes.
+    _phase("compile 50-step scan (remote compile; cold terminal ~60-120s)")
     keys = jax.random.split(jax.random.PRNGKey(1), n_steps)
     params, state, opt_state, loss = run_steps(params, state, opt_state, keys)
     _ = float(loss)
 
+    _phase("measure")
     keys = jax.random.split(jax.random.PRNGKey(2), n_steps)
     t0 = time.perf_counter()
     params, state, opt_state, loss = run_steps(params, state, opt_state, keys)
@@ -166,15 +268,10 @@ def main():
     dt = time.perf_counter() - t0
     eps = bs * n_steps / dt
 
+    _DONE.set()
     vs = eps / BASELINE_EXAMPLES_PER_SEC if BASELINE_EXAMPLES_PER_SEC else None
-    print(json.dumps({
-        "metric": "aread_train_examples_per_sec_per_chip"
-                  + ("_lazy" if lazy else "")
-                  + ("_bf16m" if moments_dtype else ""),
-        "value": round(eps, 1),
-        "unit": "examples/s",
-        "vs_baseline": round(vs, 2) if vs else None,
-    }))
+    _emit(round(eps, 1), round(vs, 2) if vs else None)
+    _phase("done")
 
 
 if __name__ == "__main__":

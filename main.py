@@ -157,6 +157,9 @@ def main():
     cfg = load_config()
     import jax
     jax.config.update("jax_default_prng_impl", cfg.prng_impl)
+    from aread_tpu.utils.device_cleanup import install as install_device_cleanup
+    install_device_cleanup()  # free HBM at exit — a leaked session blocks
+    # the next process's TPU claim for minutes (see device_cleanup.py)
     from aread_tpu.utils.jit_cache import enable as enable_jit_cache
     enable_jit_cache()
     from aread_tpu.data.loader import load_split_data
