@@ -27,6 +27,45 @@ import numpy as np
 from aread_tpu.ops.initializers import embedding_init, linear_kernel_init, linear_bias_init_for
 
 
+# Trace-time override for the table row gather, so a mesh-aware lookup
+# (parallel/embed_shard.a2a_lookup: dedup + all-to-all exchange) can replace
+# the default jnp.take WITHOUT threading a callable through every model
+# constructor. The override is consulted while flax traces __call__; callers
+# (parallel/train_step.make_sharded_train_step) activate it around the body
+# of their own locally-defined jitted step, so jit caches never mix override
+# states (each make_* call produces a fresh function object).
+_LOOKUP_OVERRIDE: list = []
+
+
+class lookup_override:
+    """Context manager: route FeaturesEmbedding row gathers through
+    ``fn(table, row_ids) -> rows`` (row_ids pre-clipped to the table)."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __enter__(self):
+        _LOOKUP_OVERRIDE.append(self.fn)
+        return self.fn
+
+    def __exit__(self, *exc):
+        _LOOKUP_OVERRIDE.pop()
+        return False
+
+
+def gather_rows(table, row_ids):
+    """The one row-gather primitive every lookup path goes through.
+
+    row_ids must already be clipped to [0, table.shape[0]) — jnp.take's
+    default out-of-bounds behavior is NaN-fill, which silently poisons
+    training (the torch reference IndexErrors instead), and the a2a override
+    returns zeros for out-of-range ids; pre-clipping keeps both total.
+    """
+    if _LOOKUP_OVERRIDE:
+        return _LOOKUP_OVERRIDE[-1](table, row_ids)
+    return jnp.take(table, row_ids, axis=0)
+
+
 def compute_offsets(one_hot_dims: Sequence[int], n_multi_hot_slots: int, itemid_idx: int) -> np.ndarray:
     """Per-column row offsets into the fused table (reference layer.py:152-157)."""
     offsets = np.concatenate([[0], np.cumsum(one_hot_dims)[:-1]]).astype(np.int64)
@@ -102,19 +141,19 @@ class FeaturesEmbedding(nn.Module):
             # clip at the table-row level (see mode='clip' note below), then
             # gather the 128-lane flat row and select the id's lane group
             fids = jnp.clip(ids, 0, self.n_rows - 1)
-            frows = jnp.take(table, fids // rpf, axis=0)  # [B, F, 128]
+            frows = gather_rows(table, fids // rpf)  # [B, F, 128]
             frows = frows.reshape(fids.shape + (rpf, self.embed_dim))
             lane = (fids % rpf)[..., None, None]
             embed_x = jnp.take_along_axis(frows, lane, axis=2)[..., 0, :]
         else:
             table = self.param("table", embedding_init,
                                (self.n_rows, self.embed_dim), self.param_dtype)
-            # mode='clip': jnp.take's default out-of-bounds behavior is
-            # NaN-fill, which silently poisons training if an id exceeds its
-            # field vocab (the torch reference IndexErrors in that case).
-            # Clipping keeps the lookup total and finite; vocab sizing is
-            # the loader's contract.
-            embed_x = jnp.take(table, ids, axis=0, mode="clip")  # [B, F, E]
+            # pre-clip: see gather_rows — keeps the lookup total and finite
+            # if an id exceeds its field vocab (the torch reference
+            # IndexErrors in that case); vocab sizing is the loader's
+            # contract.
+            embed_x = gather_rows(
+                table, jnp.clip(ids, 0, self.n_rows - 1))  # [B, F, E]
         # Sparse-gradient tap: a flax perturbation on the gathered rows.
         # Passthrough unless the caller supplies a 'perturbations'
         # collection; the trainers differentiate w.r.t. it to obtain

@@ -36,8 +36,29 @@ def shard_params(params, mesh: Mesh):
 
 
 def make_sharded_train_step(model, optimizer, mesh: Mesh, reg_rules,
-                            is_multi_tower: bool):
-    """Build a pjit-ed train step with explicit input shardings."""
+                            is_multi_tower: bool,
+                            embed_lookup: str = "gspmd",
+                            a2a_capacity: int | None = None):
+    """Build a pjit-ed train step with explicit input shardings.
+
+    embed_lookup: 'gspmd' (default — XLA partitions the plain gather) or
+      'a2a' (explicit dedup + all-to-all exchange, embed_shard.a2a_lookup;
+      a2a_capacity is its static per-owner bucket bound, see
+      a2a_required_capacity).
+    """
+    if embed_lookup not in ("gspmd", "a2a"):
+        raise ValueError(f"embed_lookup={embed_lookup!r}")
+    from aread_tpu.ops.embedding import lookup_override
+    from aread_tpu.parallel.embed_shard import a2a_lookup
+    from contextlib import nullcontext
+    from functools import partial
+
+    def trace_ctx():
+        if embed_lookup == "a2a":
+            return lookup_override(
+                partial(a2a_lookup, mesh=mesh, capacity=a2a_capacity))
+        return nullcontext()
+
     bsh = batch_sharding(mesh)
     rep = replicated(mesh)
 
@@ -55,7 +76,9 @@ def make_sharded_train_step(model, optimizer, mesh: Mesh, reg_rules,
             bce = masked_mean(bce_with_logits(logit, batch["y"]), batch["valid"])
             return bce + regularization_loss(p, reg_rules), new_state
 
-        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        with trace_ctx():
+            (loss, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         return new_params, dict(new_state), new_opt_state, loss

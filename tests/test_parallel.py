@@ -10,7 +10,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from aread_tpu.config import Config
 from aread_tpu.data.loader import GlobalBatcher
 from aread_tpu.models.deepfm import DeepFM
-from aread_tpu.parallel.embed_shard import (lookup_reference, pad_table_rows,
+from aread_tpu.parallel.embed_shard import (a2a_lookup,
+                                            a2a_required_capacity,
+                                            lookup_reference, pad_table_rows,
                                             sharded_lookup)
 from aread_tpu.parallel.mesh import make_mesh, param_shardings
 from aread_tpu.parallel.train_step import make_sharded_train_step, shard_params
@@ -46,6 +48,105 @@ def test_sharded_lookup_gradient_is_scatter_add():
     g_sharded = jax.grad(loss_sharded)(table)
     g_ref = jax.grad(loss_ref)(table)
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_ref), rtol=1e-5)
+
+
+def test_a2a_lookup_matches_reference_bit_identical():
+    """Dedup + all-to-all exchange (VERDICT r1 item 2): forward must be
+    bit-identical to the unsharded gather, at the always-exact capacity and
+    at the measured (host-checked) capacity."""
+    mesh = make_mesh(data=4, model=2)
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.standard_normal((64, 16)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 64, size=(16, 5)), jnp.int32)
+    want = np.asarray(lookup_reference(table, ids))
+    got = a2a_lookup(table, ids, mesh)  # capacity=None -> always exact
+    np.testing.assert_array_equal(np.asarray(got), want)
+    cap = a2a_required_capacity(np.asarray(ids), 64, 2, n_data=4)
+    assert cap < ids.size // 4  # dedup+bucketing beat the naive bound
+    got2 = a2a_lookup(table, ids, mesh, capacity=cap)
+    np.testing.assert_array_equal(np.asarray(got2), want)
+
+
+def test_a2a_lookup_gradient_is_scatter_add():
+    mesh = make_mesh(data=4, model=2)
+    rng = np.random.default_rng(1)
+    table = jnp.asarray(rng.standard_normal((32, 8)), jnp.float32)
+    # heavy duplication — exercises the dedup scatter-add transpose
+    ids = jnp.asarray(rng.integers(0, 8, size=(8, 3)), jnp.int32)
+    cap = a2a_required_capacity(np.asarray(ids), 32, 2, n_data=4)
+
+    def loss_a2a(t):
+        return jnp.sum(jnp.sin(a2a_lookup(t, ids, mesh, capacity=cap)) * 2.0)
+
+    def loss_ref(t):
+        return jnp.sum(jnp.sin(lookup_reference(t, ids)) * 2.0)
+
+    g1 = jax.grad(loss_a2a)(table)
+    g2 = jax.grad(loss_ref)(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_a2a_lookup_under_jit_with_shardings():
+    mesh = make_mesh(data=4, model=2)
+    rng = np.random.default_rng(2)
+    table = jnp.asarray(rng.standard_normal((64, 16)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 64, size=(16, 5)), jnp.int32)
+    ts = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    ish = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
+    f = jax.jit(lambda t, i: a2a_lookup(t, i, mesh, capacity=12))
+    want = np.asarray(lookup_reference(table, ids))
+    cap = a2a_required_capacity(np.asarray(ids), 64, 2, n_data=4)
+    assert cap <= 12
+    np.testing.assert_array_equal(np.asarray(f(ts, ish)), want)
+
+
+def test_a2a_lookup_overflow_reads_zero_rows():
+    """Ids past the static bucket capacity come back as zeros (documented
+    contract; callers bound capacity host-side via a2a_required_capacity)."""
+    mesh = make_mesh(data=4, model=2)
+    table = jnp.ones((64, 4), jnp.float32)
+    ids = jnp.asarray(np.arange(80).reshape(16, 5) % 64, jnp.int32)
+    out = np.asarray(a2a_lookup(table, ids, mesh, capacity=1))
+    assert (out == 0).any() and (out == 1).any()
+    # gradients of overflowed slots are dropped, not corrupted
+    g = jax.grad(lambda t: a2a_lookup(t, ids, mesh, capacity=1).sum())(table)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_a2a_sharded_step_matches_gspmd_step(synthetic_data):
+    """The a2a lookup is selectable in the sharded train step and yields the
+    same loss/params as the GSPMD-gather step."""
+    data = synthetic_data
+    cfg = Config(bs=256, lr=1e-3, embed_dim=8, dropout=0.0)
+    spec = data.spec.pad_vocab(2)
+    model = DeepFM(spec=spec, embed_dim=8, mlp_dims=(16,), dropout=0.0)
+    trainer = Trainer(model, cfg, data.n_domain)
+    batcher = GlobalBatcher(data.train_x, data.train_y, 256,
+                            data.spec.domain_idx, shuffle=False)
+    batch = next(iter(batcher))
+    params, state, opt_state = trainer.init(jax.random.PRNGKey(0), batch)
+
+    mesh = make_mesh(data=4, model=2)
+    optimizer = make_optimizer(cfg.lr, cfg.wd)
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+
+    results = {}
+    for lookup in ("gspmd", "a2a"):
+        sp, _ = shard_params(copy(params), mesh)
+        step, place_batch = make_sharded_train_step(
+            model, optimizer, mesh, type(model).REG_RULES, False,
+            embed_lookup=lookup, a2a_capacity=None)
+        so = optimizer.init(sp)
+        results[lookup] = step(sp, state, so, place_batch(batch),
+                               jax.random.PRNGKey(9))
+    p1, _, _, loss1 = results["gspmd"]
+    p2, _, _, loss2 = results["a2a"]
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2.2e-3)
 
 
 def test_dp_sharded_step_matches_single_device(synthetic_data):
