@@ -180,6 +180,13 @@ class Config:
     # reschedule; pair with --elastic for restart-and-resume.
     epoch_timeout_s: float = 0.0
     epoch_timeout_kill: bool = False
+    # the FIRST epoch after process start includes jit compiles (20-40 s
+    # per trace over the TPU tunnel) and the first device_put (minutes,
+    # CLAUDE.md) — a deadline tuned to steady-state epochs would spuriously
+    # fire there, and with epoch_timeout_kill + --elastic could become a
+    # kill/restart loop that never finishes epoch 0. The first wrapped
+    # epoch of each process gets timeout * this grace multiplier.
+    epoch_timeout_first_mult: float = 5.0
 
     def domain2group(self) -> Optional[Tuple[int, ...]]:
         """Precomputed domain->group map (reference config.py:67-74), or

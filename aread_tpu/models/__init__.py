@@ -36,7 +36,10 @@ def build_model(config: Config, spec: FeatureSpec, n_domain: int,
     name = config.model
     e = config.embed_dim
     if n_tower is None:
-        n_tower = config.n_tower
+        # cap by n_domain: a dataset with fewer domains than the default
+        # 3-group fallback (Config.n_tower) must not build empty towers
+        # (wasted params + per-tower reductions over empty groups)
+        n_tower = min(config.n_tower, n_domain)
     if config.sparse_table_grad:
         # lane-packed [n_rows*E/128, 128] table storage: on TPU a
         # [N, E<128] f32 table is physically lane-padded 4x and every

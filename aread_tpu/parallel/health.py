@@ -47,13 +47,24 @@ def watchdog(timeout_s: Optional[float], tag: str = "",
         yield
         return
     breached = threading.Event()
+    completed = threading.Event()
 
     def _fire():
+        # Close the fire-vs-cancel race: a block that already returned
+        # (completed is set the instant the body finishes, BEFORE
+        # timer.cancel()) must not be flagged breached — and in kill mode
+        # must not hard-exit a healthy process that finished its work. A
+        # timer that fires while the block is still running keeps the
+        # existing contract: breach recorded, HealthError raised on return
+        # (or hard exit in kill mode — the block is genuinely over
+        # deadline with its work incomplete).
+        if completed.is_set():
+            return
         breached.set()
         msg = (f"[aread_tpu.health] watchdog '{tag}' exceeded "
                f"{timeout_s}s (process {os.getpid()})")
         print(msg, flush=True)
-        if kill_process:
+        if kill_process and not completed.is_set():
             # last resort: a hung collective never returns to Python
             os._exit(42)
 
@@ -63,12 +74,33 @@ def watchdog(timeout_s: Optional[float], tag: str = "",
     t0 = time.perf_counter()
     try:
         yield
+        completed.set()
     finally:
         timer.cancel()
     if breached.is_set():
         raise HealthError(
             f"watchdog '{tag}': block took {time.perf_counter() - t0:.1f}s "
             f"(> {timeout_s}s deadline)")
+
+
+_first_epoch_done = False
+
+
+def epoch_deadline(timeout_s: Optional[float],
+                   first_mult: float = 5.0) -> Optional[float]:
+    """Per-epoch watchdog deadline with a cold-start grace for the FIRST
+    wrapped epoch of this process: it pays jit compiles (20-40 s per trace
+    over the TPU tunnel) and the first device_put (minutes), so a deadline
+    tuned to steady-state epoch time would spuriously fire — and with
+    kill mode + --elastic could loop killing epoch 0 forever. Process-
+    global: the cold-start cost is per process, not per trainer."""
+    global _first_epoch_done
+    if not timeout_s:
+        return timeout_s  # watchdog off: don't consume the grace
+    if _first_epoch_done:
+        return timeout_s
+    _first_epoch_done = True
+    return timeout_s * max(first_mult, 1.0)
 
 
 def barrier(tag: str = "barrier", timeout_s: Optional[float] = None,

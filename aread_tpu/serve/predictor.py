@@ -190,7 +190,7 @@ def load_predictor(ckpt_path: str) -> Predictor:
     elif cfg.model in MULTI_TOWER_MODELS:
         # same modulo fallback as main.py for datasets without a
         # precomputed grouping (cloudtheme) — must match training
-        d2g = np.arange(n_domain) % cfg.n_tower
+        d2g = np.arange(n_domain) % min(cfg.n_tower, n_domain)
     return Predictor(model, ck["params"], ck["state"], n_domain,
                      domain_mask=ck.get("domain_mask"),
                      domain2group=d2g, compute_dtype=cfg.compute_dtype)

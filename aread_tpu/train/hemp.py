@@ -1021,8 +1021,10 @@ class AREADTrainer:
         for epoch_i in range(start_epoch,
                              epochs if epochs is not None else cfg.epoch):
             t0 = time.time()
-            from aread_tpu.parallel.health import watchdog
-            with watchdog(cfg.epoch_timeout_s, tag=f"aread_epoch{epoch_i}",
+            from aread_tpu.parallel.health import epoch_deadline, watchdog
+            with watchdog(epoch_deadline(cfg.epoch_timeout_s,
+                                         cfg.epoch_timeout_first_mult),
+                          tag=f"aread_epoch{epoch_i}",
                           kill_process=cfg.epoch_timeout_kill):
                 params, state, opt_state, rng, train_loss = self.train_epoch(
                     params, state, opt_state, epoch_i, train_b, aug_b, rng,

@@ -380,7 +380,7 @@ class Trainer:
         self._train_scan = None
         self._epoch_scan = None
         self._epoch_fits = None
-        self._device_data = None  # (dx, dy) HBM-resident train split
+        self._device_data = None  # (host_x, host_y, dx, dy) HBM train split
         self._eval_step = None
         self._eval_accum_step = None
         # early-stop state (reference run.py:99-103)
@@ -706,12 +706,17 @@ class Trainer:
         if self._epoch_scan is None:
             self._epoch_scan = self._build_epoch_scan()
         # cache keyed on the host split's identity: a second fit() on new
-        # data must not gather from the previous split's HBM copy
-        key = (id(batcher.x), batcher.x.shape, id(batcher.y))
-        if self._device_data is None or self._device_data[0] != key:
-            self._device_data = (key, jax.device_put(batcher.x),
+        # data must not gather from the previous split's HBM copy. Hold the
+        # host arrays themselves and compare with `is` — id() keys can be
+        # recycled after garbage collection, which would silently reuse a
+        # stale device copy for a new same-shape array.
+        if (self._device_data is None
+                or self._device_data[0] is not batcher.x
+                or self._device_data[1] is not batcher.y):
+            self._device_data = (batcher.x, batcher.y,
+                                 jax.device_put(batcher.x),
                                  jax.device_put(batcher.y))
-        _, dx, dy = self._device_data
+        _, _, dx, dy = self._device_data
         perm_np = batcher.epoch_perm()
         losses = []
         with profiling.trace():
@@ -864,11 +869,12 @@ class Trainer:
         history = []
 
         def run_epochs(params, state, opt_state, rng):
-            from aread_tpu.parallel.health import watchdog
+            from aread_tpu.parallel.health import epoch_deadline, watchdog
             for epoch_i in range(start_epoch,
                                  epochs if epochs is not None else cfg.epoch):
                 t0 = time.time()
-                with watchdog(cfg.epoch_timeout_s,
+                with watchdog(epoch_deadline(cfg.epoch_timeout_s,
+                                             cfg.epoch_timeout_first_mult),
                               tag=f"train_epoch{epoch_i}",
                               kill_process=cfg.epoch_timeout_kill):
                     if device_data:

@@ -1,0 +1,201 @@
+"""Mid-scale LEARNABLE-SIGNAL AUC parity: PyTorch reference vs aread_tpu.
+
+The round-1 parity evidence (benchmarks/parity_auc.py on the bundled 3k-row
+samples) sits at chance-level AUC, where a subtly broken gate/BN/optimizer
+is invisible. This harness plants a known domain-dependent signal in an
+80k-row AliCCP-format dataset and trains BOTH frameworks end-to-end on it:
+
+    logit = a*u[userid] + sign[domain]*a*i[itemid] + b*w[c301]
+    y ~ Bernoulli(sigmoid(scale * logit))
+
+* u, i, w are iid latent scores per category value — learnable by any
+  embedding model;
+* sign[domain] in {+1,-1} makes the item effect DOMAIN-DEPENDENT: a model
+  that cannot condition on domain (broken gates, dead domain embedding,
+  wrong tower gather) loses the item term entirely and caps well below the
+  joint ceiling — exactly the failure mode the 3k samples cannot expose.
+  An FM cross <e_domain, e_item> or a domain-gated tower recovers it.
+
+Success criterion (VERDICT r1 item 3): both frameworks reach AUC >= 0.65
+and agree within seed noise. Reference metric contract: run.py:787-808.
+
+Run:  python benchmarks/parity_signal.py [--models deepfm,mmoe,aread]
+          [--seeds 2000,2001,2002] [--rows 80000] [--epoch 6]
+Writes benchmarks/parity_signal.json and prints a summary table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import json
+import os
+import statistics
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import parity_auc  # reuse the staged-reference machinery
+
+REPO = parity_auc.REPO
+WS = "/tmp/ref_parity_signal_ws"
+
+# exact bundled-sample header (reference reads usecols of the 23
+# categorical feature_names + click + train_tag; run.py:56-63)
+HEADER = ("click,purchase,userid,121,122,124,125,126,127,128,129,itemid,"
+          "domain,207,210,216,508,509,702,853,301,109_14,110_14,127_14,"
+          "150_14,D109_14,D110_14,D127_14,D150_14,D508,D509,D702,D853,"
+          "train_tag")
+CSV_NAME = "thresh15_ndomain30_modeinterval_random.csv"  # preprocess_path
+N_DOMAIN = 30
+
+VOCAB = {"userid": 2000, "itemid": 3000, "121": 8, "122": 6, "124": 4,
+         "125": 8, "126": 5, "127": 5, "128": 4, "129": 7, "207": 40,
+         "210": 30, "216": 25, "508": 12, "509": 15, "702": 10, "853": 9,
+         "301": 20, "109_14": 30, "110_14": 35, "127_14": 12, "150_14": 14}
+
+
+def generate(out_dir: str, n_rows: int, seed: int = 7) -> None:
+    rng = np.random.default_rng(seed)
+    cols = {}
+    for name, v in VOCAB.items():
+        cols[name] = rng.integers(0, v, size=n_rows)
+    # skewed domain sizes (the real AliCCP spans 9.7k..2.7M): Zipf-ish
+    w = 1.0 / (np.arange(1, N_DOMAIN + 1) ** 0.8)
+    cols["domain"] = rng.choice(N_DOMAIN, size=n_rows, p=w / w.sum())
+
+    u = 0.9 * rng.standard_normal(VOCAB["userid"])
+    i = 0.9 * rng.standard_normal(VOCAB["itemid"])
+    w301 = 0.5 * rng.standard_normal(VOCAB["301"])
+    sign = np.where(rng.random(N_DOMAIN) < 0.5, 1.0, -1.0)
+    logit = (u[cols["userid"]] + sign[cols["domain"]] * i[cols["itemid"]]
+             + w301[cols["301"]])
+    p = 1.0 / (1.0 + np.exp(-1.2 * logit))
+    click = (rng.random(n_rows) < p).astype(np.int64)
+
+    # 80/10/10 split, stratified per domain so every domain appears in
+    # every split (the reference's per-domain loaders raise on empties)
+    tag = np.zeros(n_rows, np.int64)
+    for d in range(N_DOMAIN):
+        idx = np.flatnonzero(cols["domain"] == d)
+        rng.shuffle(idx)
+        n = len(idx)
+        tag[idx[int(0.8 * n):int(0.9 * n)]] = 1
+        tag[idx[int(0.9 * n):]] = 2
+
+    import pandas as pd
+    df = pd.DataFrame({"click": click, "purchase": 0})
+    for name in HEADER.split(",")[2:-1]:
+        df[name] = cols.get(name, 0)
+    df["train_tag"] = tag
+    os.makedirs(out_dir, exist_ok=True)
+    df.to_csv(os.path.join(out_dir, CSV_NAME), index=False)
+
+    # counterfactual-augmentation counterpart (AREAD's fast-adapt data,
+    # run.py:634-648): 10% of positive train rows reassigned to the
+    # smallest domains — the reference's make_augmentation semantics
+    # (preprocess.py:368-474) at the granularity that matters for parity
+    train = df[df.train_tag == 0]
+    pos = train[train.click == 1]
+    aug = pos.sample(n=max(1, int(0.1 * len(train))), replace=True,
+                     random_state=seed)
+    small = np.argsort(-np.arange(N_DOMAIN))[:10]  # highest ids = smallest
+    aug = aug.assign(domain=rng.choice(small, size=len(aug)))
+    df_aug = pd.concat([train, aug], ignore_index=True)
+    base, ext = os.path.splitext(CSV_NAME)
+    df_aug.to_csv(os.path.join(out_dir, f"{base}_aug0.1{ext}"), index=False)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default="deepfm,mmoe,aread")
+    ap.add_argument("--seeds", default="2000,2001,2002")
+    ap.add_argument("--rows", type=int, default=80000)
+    ap.add_argument("--epoch", type=int, default=12)
+    ap.add_argument("--timeout", type=int, default=3600)
+    ap.add_argument("--skip_reference", action="store_true")
+    ap.add_argument("--skip_ours", action="store_true")
+    args = ap.parse_args()
+
+    parity_auc.WS = WS  # point the shared machinery at our workspace
+
+    # knobs tuned so both sides clear AUC 0.65 within ~12 epochs despite
+    # the (reference-faithful) N(0,1) embedding init, whose 23-field FM
+    # noise saturates the sigmoid for the first few epochs: embed_dim 8
+    # and lr 1e-2 reach test AUC ~0.72 (measured; embed 16 / lr 1e-3
+    # crawls to 0.54 in the same budget)
+    def common_argv(model, ds, seed, epoch, fast_aread):
+        argv = ["--model", model, "--dataset_name", ds, "--seed", str(seed),
+                "--epoch", str(epoch), "--bs", "256", "--embed_dim", "8",
+                "--lr", "1e-2"]
+        if model == "aread" and fast_aread:
+            # ~4 evolutions/epoch at 250 steps/epoch
+            argv += ["--warm_up_interval", "4", "--regroup_interval", "16",
+                     "--candidate_mask_num", "3", "--regroup_update_step",
+                     "2", "--regroup_eval_step", "2"]
+        return argv
+
+    parity_auc.common_argv = common_argv
+    os.makedirs(WS, exist_ok=True)
+    with open(os.path.join(WS, "wandb.py"), "w") as f:
+        f.write(parity_auc.WANDB_STUB)
+    data_dir = os.path.join(WS, "data", "aliccp")
+    if not os.path.exists(os.path.join(data_dir, CSV_NAME)):
+        print(f"generating {args.rows}-row planted-signal dataset...",
+              file=sys.stderr, flush=True)
+        generate(data_dir, args.rows)
+
+    results = []
+    for model in args.models.split(","):
+        for seed in [int(s) for s in args.seeds.split(",")]:
+            row = {"dataset": "aliccp-signal", "model": model, "seed": seed}
+            if not args.skip_reference:
+                try:
+                    ref, rout = parity_auc.run_reference(
+                        model, "aliccp", seed, args.epoch, args.timeout)
+                except Exception as e:  # noqa: BLE001 - record and continue
+                    ref, rout = None, None
+                    print(f"[ref EXC] {model}/{seed}: {e}", file=sys.stderr)
+                if ref is None and rout is not None:
+                    print(f"[ref FAILED] {model}/{seed}: "
+                          f"{rout.stderr[-2000:]}", file=sys.stderr)
+                row["ref_auc"] = ref and ref.get("val_auc")
+                row["ref_test_auc"] = ref and ref.get("total_auc")
+                row["ref_mean_auc"] = ref and ref.get("mean_auc")
+            if not args.skip_ours:
+                try:
+                    ours, oout = parity_auc.run_ours(
+                        model, "aliccp", seed, args.epoch, args.timeout)
+                except Exception as e:  # noqa: BLE001
+                    ours, oout = None, None
+                    print(f"[ours EXC] {model}/{seed}: {e}", file=sys.stderr)
+                if ours is None and oout is not None:
+                    print(f"[ours FAILED] {model}/{seed}: "
+                          f"{oout.stderr[-2000:]}", file=sys.stderr)
+                row["tpu_auc"] = ours and ours.get("val_auc")
+                row["tpu_test_auc"] = ours and ours.get("total_auc")
+                row["tpu_mean_auc"] = ours and ours.get("mean_auc")
+            results.append(row)
+            print(json.dumps(row), flush=True)
+            with open(os.path.join(REPO, "benchmarks",
+                                   "parity_signal.json"), "w") as f:
+                json.dump(results, f, indent=1)
+
+    groups = collections.defaultdict(list)
+    for r in results:
+        groups[(r["dataset"], r["model"])].append(r)
+    print(f"\n{'model':8s} {'ref AUC':>16s} {'tpu AUC':>16s}")
+    for (_, model), rows in groups.items():
+        def ms(key):
+            vals = [r[key] for r in rows if r.get(key) is not None]
+            if not vals:
+                return "--"
+            mu = statistics.mean(vals)
+            sd = statistics.stdev(vals) if len(vals) > 1 else 0.0
+            return f"{mu:.4f}±{sd:.4f}"
+        print(f"{model:8s} {ms('ref_auc'):>16s} {ms('tpu_auc'):>16s}")
+
+
+if __name__ == "__main__":
+    main()

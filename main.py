@@ -241,9 +241,10 @@ def main():
             # modulo grouping over the reference's 3 groups. Deviation: the
             # reference crashes here (run.py:43-45 KeyError) — multi-tower
             # models need SOME domain->group map to gather tower columns
-            d2g = np.arange(data.n_domain) % cfg.n_tower
+            n_groups = min(cfg.n_tower, data.n_domain)
+            d2g = np.arange(data.n_domain) % n_groups
             print(f"no precomputed domain2group for {cfg.dataset_name}: "
-                  f"using modulo-{cfg.n_tower} grouping")
+                  f"using modulo-{n_groups} grouping")
         model = build_model(cfg, data.spec, data.n_domain)
         trainer = Trainer(model, cfg, data.n_domain, domain2group=d2g, mesh=mesh)
         result = trainer.fit(data, warm_start=warm_start, ckpt_dir=elastic_dir)

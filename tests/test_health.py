@@ -65,3 +65,49 @@ def test_watchdog_kill_process_hard_exits():
                        text=True, timeout=60)
     assert p.returncode == 42
     assert "watchdog 'hang' exceeded" in p.stdout
+
+
+def test_epoch_deadline_first_epoch_grace():
+    """ADVICE r1: the first wrapped epoch of a process pays compiles +
+    first device_put — it gets timeout * first_mult; later epochs the
+    plain timeout; timeout 0/None never consumes the grace."""
+    from aread_tpu.parallel import health
+
+    old = health._first_epoch_done
+    health._first_epoch_done = False
+    try:
+        assert health.epoch_deadline(0.0, 5.0) == 0.0  # off: grace kept
+        assert health.epoch_deadline(None, 5.0) is None
+        assert not health._first_epoch_done
+        assert health.epoch_deadline(10.0, 5.0) == 50.0  # first epoch
+        assert health.epoch_deadline(10.0, 5.0) == 10.0  # steady state
+        assert health.epoch_deadline(10.0, 0.5) == 10.0  # mult floors at 1
+    finally:
+        health._first_epoch_done = old
+
+
+def test_watchdog_fire_after_completion_is_noop(monkeypatch):
+    """ADVICE r1 race: the timer firing AFTER the block returned (but
+    conceptually before cancel) must neither breach nor hard-exit. The
+    Timer is faked so the callback can be driven by hand post-completion;
+    without the `completed` guard, os._exit(42) would kill pytest here."""
+    import threading
+
+    captured = {}
+
+    class FakeTimer:
+        daemon = True
+
+        def __init__(self, t, fn):
+            captured["fn"] = fn
+
+        def start(self):
+            pass
+
+        def cancel(self):
+            pass
+
+    monkeypatch.setattr(threading, "Timer", FakeTimer)
+    with watchdog(0.001, tag="race", kill_process=True):
+        time.sleep(0.01)  # past the deadline, but the fake never fired
+    captured["fn"]()  # post-completion fire: must be a pure no-op

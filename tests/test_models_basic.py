@@ -86,3 +86,17 @@ def test_padded_batch_does_not_affect_loss(synthetic_data):
     params, state, opt_state, _, loss = trainer.train_epoch(
         params, state, opt_state, batcher, jax.random.PRNGKey(1))
     assert np.isfinite(loss)
+
+
+def test_build_model_n_tower_capped_by_n_domain():
+    """ADVICE r1: a dataset with fewer domains than the 3-group fallback
+    must not build empty towers (config.py n_tower fallback)."""
+    from aread_tpu.config import Config
+    from aread_tpu.data.loader import make_synthetic_data
+    from aread_tpu.models import build_model
+
+    data = make_synthetic_data(n_rows=64, n_domain=2, seed=0)
+    cfg = Config(model="mmoe", dataset_name="cloudtheme", embed_dim=8)
+    assert cfg.n_tower == 3  # the config-level upper bound is unchanged
+    model = build_model(cfg, data.spec, n_domain=2)
+    assert model.n_tower == 2
