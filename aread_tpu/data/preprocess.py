@@ -138,7 +138,8 @@ def build_user_history(df: pd.DataFrame, months: int = 6) -> pd.DataFrame:
 
 def preprocess_amazon(ratings: pd.DataFrame, item_meta: pd.DataFrame,
                       k_cores: int = 3, prepare2train_month: int = 12,
-                      domains: Sequence[str] = ()) -> pd.DataFrame:
+                      domains: Sequence[str] = (),
+                      user_mean: Optional[pd.Series] = None) -> pd.DataFrame:
     """Amazon pipeline on in-memory frames (the reference streams from huge
     CSVs, preprocess.py:480-545; IO is orthogonal to the semantics).
 
@@ -160,9 +161,15 @@ def preprocess_amazon(ratings: pd.DataFrame, item_meta: pd.DataFrame,
     rare = set(brand_counts[brand_counts < 10].index)
     meta["brand"] = meta["brand"].apply(lambda b: None if b in rare else b)
 
-    # label = rating above the user's own mean (preprocess.py:177-179)
-    user_mean = df.groupby("userid")["rating"].transform("mean")
-    df["label"] = (df["rating"] > user_mean).astype(int)
+    # label = rating above the user's own mean (preprocess.py:177-179).
+    # A streaming caller (data/pipeline.stream_amazon_ratings) passes the
+    # mean over the user's FULL post-k-core history — the in-frame
+    # transform would only see the retained time-margin rows.
+    if user_mean is None:
+        um = df.groupby("userid")["rating"].transform("mean")
+    else:
+        um = df["userid"].map(user_mean)
+    df["label"] = (df["rating"] > um).astype(int)
 
     # encode itemid jointly across ratings+meta (preprocess.py:181-187)
     df["itemid"], item_mapping = label_encode(df["itemid"])

@@ -198,3 +198,111 @@ def test_unknown_group_strategy_fails_fast():
         assert False, "expected KeyError"
     except KeyError:
         pass
+
+
+def test_stream_amazon_ratings_matches_in_memory(tmp_path):
+    """The streaming k-core + window-margin filter (VERDICT r1 item 6) is
+    lossless vs the in-memory path: identical final pipeline output."""
+    from aread_tpu.data.pipeline import stream_amazon_ratings
+    from aread_tpu.data.preprocess import k_core_filter
+
+    rng = np.random.default_rng(11)
+    n = 20000
+    # timestamps spanning 4 years; window = last 12 months + 6mo margin
+    t_lo, t_hi = 1408060800, 1534291200
+    recs = pd.DataFrame({
+        "itemid": [f"I{int(i)}" for i in rng.integers(0, 300, n)],
+        "userid": [f"U{int(u)}" for u in rng.integers(0, 200, n)],
+        "rating": rng.integers(1, 6, n).astype(float),
+        "timestamp": rng.integers(t_lo, t_hi, n),
+    })
+    path = tmp_path / "raw.csv"
+    recs.to_csv(path, index=False, header=False)
+
+    got, user_mean = stream_amazon_ratings(str(path), k_cores=3,
+                                           chunksize=1500)
+    # in-memory reference: full k-core, then the same margin cut
+    core = k_core_filter(recs, 3)
+    from datetime import timedelta
+    end = core["timestamp"].max()
+    days_n = 30 * 12 + 6
+    margin = (end - int(timedelta(days=days_n - 1).total_seconds())
+              - int(timedelta(days=30 * 6 - 1).total_seconds()))
+    want = core.loc[core["timestamp"] >= margin]
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["userid", "itemid", "timestamp"]).reset_index(drop=True),
+        want.sort_values(["userid", "itemid", "timestamp"]).reset_index(drop=True))
+    # user means over ALL k-core survivors, not just the margin rows
+    mu = core.groupby("userid")["rating"].mean()
+    pd.testing.assert_series_equal(user_mean.sort_index(), mu.sort_index(),
+                                   check_names=False)
+
+
+def test_stream_amazon_ratings_bounded_rss(tmp_path):
+    """The streaming path's peak RSS must stay well under the naive
+    concat-everything path's on a multi-million-row raw dump."""
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(5)
+    n = 6_000_000
+    # like the real dump: a long history (years) with only ~15% of rows
+    # inside the retained window+history margin ending at t_hi
+    t_lo, t_hi = 1155060800, 1534291200
+    margin_lo = t_hi - 48_211_200  # ~18.5 months
+    # few unique strings -> pandas object columns are pointer arrays, so
+    # the naive path's cost is dominated by 4 columns x 8 B x n
+    items = np.array([f"I{i:07d}" for i in range(200_000)])
+    users = np.array([f"U{i:07d}" for i in range(150_000)])
+    path = tmp_path / "raw.csv"
+    with open(path, "w") as f:
+        for lo in range(0, n, 1_000_000):
+            m = min(1_000_000, n - lo)
+            recent = rng.random(m) < 0.15
+            ts = np.where(recent,
+                          rng.integers(margin_lo, t_hi, m),
+                          rng.integers(t_lo, margin_lo, m))
+            pd.DataFrame({
+                "itemid": items[rng.integers(0, len(items), m)],
+                "userid": users[rng.integers(0, len(users), m)],
+                "rating": rng.integers(1, 6, m).astype(float),
+                "timestamp": ts,
+            }).to_csv(f, index=False, header=False)
+
+    wrapper = (
+        "import resource, sys\n"
+        "sys.path.insert(0, {repo!r})\n"
+        "import pandas as pd\n"
+        "{body}\n"
+        "print('RSS_KB', resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)\n"
+    )
+    stream_body = (
+        "from aread_tpu.data.pipeline import stream_amazon_ratings\n"
+        f"df, mu = stream_amazon_ratings({str(path)!r}, k_cores=3, "
+        "chunksize=500_000)\n"
+        "print('ROWS', len(df))"
+    )
+    naive_body = (
+        "from aread_tpu.data.preprocess import k_core_filter\n"
+        f"chunks = pd.read_csv({str(path)!r}, header=None, "
+        "names=['itemid','userid','rating','timestamp'], chunksize=500_000)\n"
+        "df = pd.concat(chunks, ignore_index=True)\n"
+        "df = k_core_filter(df, 3)\n"
+        "print('ROWS', len(df))"
+    )
+    import os as _os
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
+    def run(body):
+        out = subprocess.run(
+            [sys.executable, "-c", wrapper.format(repo=repo, body=body)],
+            capture_output=True, text=True, timeout=900)
+        assert out.returncode == 0, out.stderr[-2000:]
+        rss = int(out.stdout.split("RSS_KB")[1].strip())
+        return rss
+
+    rss_stream = run(stream_body)
+    rss_naive = run(naive_body)
+    # the streaming path must beat the naive materialization decisively
+    assert rss_stream < 0.7 * rss_naive, (rss_stream, rss_naive)
