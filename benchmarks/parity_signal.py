@@ -107,6 +107,26 @@ def generate(out_dir: str, n_rows: int, seed: int = 7) -> None:
     df_aug.to_csv(os.path.join(out_dir, f"{base}_aug0.1{ext}"), index=False)
 
 
+def _merge_json(row):
+    """Merge one result row into benchmarks/parity_signal.json keyed on
+    (model, seed): partial re-runs (--skip_ours / --skip_reference) update
+    only the fields they measured instead of clobbering the matrix."""
+    path = os.path.join(REPO, "benchmarks", "parity_signal.json")
+    rows = []
+    if os.path.exists(path):
+        with open(path) as f:
+            rows = json.load(f)
+    for r in rows:
+        if r["model"] == row["model"] and r["seed"] == row["seed"]:
+            r.update({k: v for k, v in row.items() if v is not None
+                      or k not in r})
+            break
+    else:
+        rows.append(dict(row))
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default="deepfm,mmoe,aread")
@@ -178,9 +198,7 @@ def main():
                 row["tpu_mean_auc"] = ours and ours.get("mean_auc")
             results.append(row)
             print(json.dumps(row), flush=True)
-            with open(os.path.join(REPO, "benchmarks",
-                                   "parity_signal.json"), "w") as f:
-                json.dump(results, f, indent=1)
+            _merge_json(row)
 
     groups = collections.defaultdict(list)
     for r in results:
