@@ -280,19 +280,43 @@ class GlobalBatcher:
         self.domain_idx = domain_idx
         self.domain2group = domain2group
         self.shuffle = shuffle
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        # epoch-KEYED shuffling (counter-based Philox on (seed, epoch))
+        # rather than a sequential rng stream: an elastic resume can then
+        # fast-forward to the saved epoch (set_epoch) and replay the
+        # exact permutations the uninterrupted run would have used —
+        # bitwise-identical recovery (tests/test_elastic_drill.py).
+        self._epoch = 0
 
     def __len__(self):
         return int(np.ceil(self.x.shape[0] / self.bs))
 
+    def set_epoch(self, epoch: int) -> None:
+        """Fast-forward the shuffle stream (elastic resume)."""
+        self._epoch = int(epoch)
+
+    def sample_batch(self) -> Dict[str, np.ndarray]:
+        """A shape-complete batch that does NOT advance the epoch stream
+        (for model init)."""
+        sel = np.arange(min(self.bs, self.x.shape[0]))
+        batch = pad_batch(self.x[sel], self.y[sel], self.bs)
+        domain = batch["x"][:, self.domain_idx].astype(np.int32)
+        batch["domain"] = domain
+        if self.domain2group is not None:
+            batch["group"] = self.domain2group[domain].astype(np.int32)
+        return batch
+
     def epoch_indices(self) -> np.ndarray:
         """One epoch's (shuffled) row order — the same stream __iter__
         consumes, exposed so the device-resident epoch path (trainer
-        train_epoch_device) draws identical permutations from the shared
-        rng state."""
+        train_epoch_device) draws identical permutations."""
         idx = np.arange(self.x.shape[0])
         if self.shuffle:
-            self.rng.shuffle(idx)
+            rng = np.random.Generator(
+                np.random.Philox(key=[self.seed & (2**64 - 1),
+                                      0xA5EAD ^ self._epoch]))
+            rng.shuffle(idx)
+        self._epoch += 1
         return idx
 
     def epoch_perm(self) -> np.ndarray:

@@ -833,7 +833,7 @@ class Trainer:
         batcher = GlobalBatcher(data.train_x, data.train_y, cfg.bs,
                                 data.spec.domain_idx, d2g, seed=cfg.seed)
         init_rng, rng = jax.random.split(rng)
-        sample = next(iter(batcher))
+        sample = batcher.sample_batch()  # shape-only; epoch stream untouched
         params, state, opt_state = self.init(init_rng, sample)
         if warm_start is not None:
             params = adopt_tree(params, warm_start["params"])
@@ -851,6 +851,9 @@ class Trainer:
             opt_state = adopt_tree(opt_state, ck["opt_state"])
             rng = jnp.asarray(np.asarray(ck["rng_key"]))
             start_epoch = int(ck["epoch"])
+            # replay the exact shuffle stream the uninterrupted run would
+            # have used from this epoch (epoch-keyed permutations)
+            batcher.set_epoch(start_epoch)
             best = ck.get("best_result") or {}
             self.best_auc = best.get("total_auc") or 0.0
             self.best_loss = best.get("total_loss") or np.inf

