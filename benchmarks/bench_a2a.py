@@ -18,31 +18,47 @@ Writes one JSON line per path.
 from __future__ import annotations
 
 import json
+import os as _os
 import re
+import sys as _sys
 import time
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import numpy as np
 
 
 def collective_bytes(hlo_text: str) -> dict:
-    """Sum output bytes of collective ops in an optimized HLO dump."""
+    """Per-replica collective buffer bytes from an optimized HLO dump.
+
+    Parses each collective instruction's OUTPUT type (scalar or tuple) and
+    sums element bytes. Returns {op: buffer_bytes}. Wire cost differs per
+    op: ring all-reduce moves ~2x its buffer across links; all-to-all
+    moves (groupsize-1)/groupsize of its buffer.
+    """
     sizes = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1, "s8": 1,
              "u8": 1, "f64": 8, "s64": 8, "u64": 8}
     out = {}
-    pat = re.compile(
-        r"(\w+)\s*(?:\[([\d,]*)\])?(?:\{[\d,]*\})?\s+"
-        r"(all-to-all|all-reduce|all-gather|reduce-scatter|"
-        r"collective-permute)")
-    for m in pat.finditer(hlo_text):
-        dtype, shape, op = m.groups()
-        if dtype not in sizes:
+    line_pat = re.compile(
+        r"=\s*(.*?)\s*(all-to-all|all-reduce|all-gather|reduce-scatter|"
+        r"collective-permute)(?:\.\d+)?\(")
+    ty_pat = re.compile(r"(\w+)\[([\d,]*)\]")
+    for line in hlo_text.splitlines():
+        m = line_pat.search(line)
+        if not m:
             continue
-        n = 1
-        if shape:
+        outs, op = m.groups()
+        total = 0
+        for dtype, shape in ty_pat.findall(outs):
+            if dtype not in sizes:
+                continue
+            n = 1
             for d in shape.split(","):
                 if d:
                     n *= int(d)
-        out[op] = out.get(op, 0) + n * sizes[dtype]
+            total += n * sizes[dtype]
+        if total:
+            out[op] = out.get(op, 0) + total
     return out
 
 
@@ -106,10 +122,14 @@ def main():
             got = jf(tsh, ish)
         got.block_until_ready()
         dt = (time.perf_counter() - t0) / n_it
+        # wire bytes per device: ring all-reduce ~2x buffer; all-to-all /
+        # all-gather / reduce-scatter ~(g-1)/g x buffer (g=2 model shards)
+        wire = (coll.get("all-reduce", 0) * 2
+                + sum(v for k, v in coll.items() if k != "all-reduce") * 0.5)
         print(json.dumps({
             "path": name, "wall_ms_cpu_mesh": round(dt * 1e3, 2),
-            "collective_bytes_per_replica": coll,
-            "total_collective_mb": round(sum(coll.values()) / 2**20, 3),
+            "collective_buffer_bytes": coll,
+            "est_wire_mb_per_device": round(wire / 2**20, 3),
             "a2a_capacity": cap if name == "a2a_exchange" else None,
         }), flush=True)
 
