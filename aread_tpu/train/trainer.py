@@ -457,9 +457,31 @@ class Trainer:
 
         compute_dtype = self.config.compute_dtype
 
+        # mesh-only: optionally route the table gather through the explicit
+        # dedup + all-to-all exchange (config.embed_lookup='a2a'). Applied
+        # at trace time inside every jit wrapper of this step body.
+        if self.config.embed_lookup == "a2a":
+            if mesh is None:
+                raise ValueError("embed_lookup='a2a' needs a device mesh")
+            from functools import partial as _partial
+
+            from aread_tpu.ops.embedding import lookup_override
+            from aread_tpu.parallel.embed_shard import a2a_lookup
+
+            _lookup_ctx = _partial(
+                lookup_override,
+                _partial(a2a_lookup, mesh=mesh,
+                         capacity=self.config.a2a_capacity or None))
+        elif self.config.embed_lookup != "gspmd":
+            raise ValueError(f"embed_lookup={self.config.embed_lookup!r}")
+        else:
+            import contextlib
+
+            _lookup_ctx = contextlib.nullcontext
+
         def step_core(params, state, opt_state, batch, rng,
                       no_overflow=False):
-            with matmul_precision_ctx(compute_dtype):
+            with matmul_precision_ctx(compute_dtype), _lookup_ctx():
                 return _step_body(params, state, opt_state, batch, rng,
                                   no_overflow)
 

@@ -107,6 +107,15 @@ def load_config() -> Config:
                         help="device-resident histogram AUC eval (only "
                              "[n_domain, auc_bins] histograms reach host)")
     parser.add_argument("--auc_bins", type=int, default=16384)
+    parser.add_argument("--embed_lookup", default="gspmd",
+                        choices=("gspmd", "a2a"),
+                        help="sharded-embedding gather under a mesh: XLA-"
+                             "partitioned gather, or the explicit dedup + "
+                             "all-to-all exchange (5.4x less ICI traffic "
+                             "at Amazon shapes; BASELINE.md)")
+    parser.add_argument("--a2a_capacity", type=int, default=0,
+                        help="static per-owner id-bucket bound for "
+                             "--embed_lookup a2a (0 = always-exact)")
     parser.add_argument("--epoch_timeout_s", type=float, default=0.0,
                         help="failure detection: watchdog deadline per "
                              "train epoch (0 = off). Logs at the deadline "

@@ -221,6 +221,41 @@ def test_mesh_trainer_end_to_end(synthetic_data):
     assert len(table.sharding.device_set) == 8
 
 
+def test_trainer_fit_with_a2a_lookup(synthetic_data):
+    """config.embed_lookup='a2a' is production-selectable: a full
+    Trainer.fit on the mesh with the a2a exchange matches the GSPMD-gather
+    fit's losses (exact capacity -> identical math)."""
+    import dataclasses
+    data = synthetic_data
+    data = dataclasses.replace(data, spec=data.spec.pad_vocab(2))
+    mesh = make_mesh(data=4, model=2)
+
+    def fit(lookup):
+        cfg = Config(bs=256, lr=1e-2, embed_dim=8, epoch=1, dropout=0.0,
+                     embed_lookup=lookup)
+        model = DeepFM(spec=data.spec, embed_dim=8, mlp_dims=(16,),
+                       dropout=0.0)
+        trainer = Trainer(model, cfg, data.n_domain, mesh=mesh)
+        return trainer.fit(data, epochs=1, verbose=False)
+
+    r1, r2 = fit("gspmd"), fit("a2a")
+    np.testing.assert_allclose(r1["history"][-1]["train_loss"],
+                               r2["history"][-1]["train_loss"], rtol=1e-5)
+    np.testing.assert_allclose(r1["test"]["total_auc"],
+                               r2["test"]["total_auc"], atol=1e-6)
+
+
+def test_trainer_a2a_requires_mesh():
+    from aread_tpu.data.loader import make_synthetic_data
+
+    data = make_synthetic_data(n_rows=64, n_domain=2, seed=0)
+    cfg = Config(bs=32, embed_dim=8, embed_lookup="a2a")
+    model = DeepFM(spec=data.spec, embed_dim=8, mlp_dims=(16,))
+    trainer = Trainer(model, cfg, data.n_domain)  # no mesh
+    with pytest.raises(ValueError, match="mesh"):
+        trainer._build_step_core()
+
+
 def test_hemp_evolution_under_mesh_matches_unsharded(synthetic_data):
     """HEMP mask evolution on the (4,2) mesh (VERDICT r1 item 7): the same
     snapshot + candidate schedule evolved with a row-sharded table must
