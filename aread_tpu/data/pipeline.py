@@ -68,22 +68,30 @@ def stream_amazon_ratings(ratings_path: str, k_cores: int = 3,
                           prepare2train_month: int = 12,
                           history_months: int = 6,
                           chunksize: int = 5_000_000, log=None):
-    """Two streaming passes over the raw ratings CSV so the full ~100M-row
-    dump never materializes in RAM (the reference pd.concat's everything,
-    preprocess.py:489-505, and so did round 1 — VERDICT r1 item 6).
+    """Three streaming passes over the raw ratings CSV so the full
+    ~100M-row dump never materializes in RAM (the reference pd.concat's
+    everything, preprocess.py:489-505, and so did round 1 — VERDICT r1
+    item 6).
 
-    Pass 1: per-chunk user/item rating counts + the global max timestamp.
-    Pass 2: per-chunk filter with
+    Pass 1: per-chunk user/item rating counts.
+    Pass 2: over k-core survivors only —
+      * the POST-k-core max timestamp. The window anchor must come from
+        the surviving frame, exactly as the in-memory path computes it
+        (preprocess.py:188-191 takes df['timestamp'].max() AFTER k-core):
+        if the newest raw rating belongs to a k-core casualty, an anchor
+        from the raw dump would sit too late and the margin prefilter
+        below would drop early-window survivors the reference keeps;
+      * per-user rating sums/counts over ALL k-core survivors — the
+        reference's label = rating > user-mean uses the user's full
+        post-k-core history, not just the window.
+    Pass 3: per-chunk filter with
       * the reference's single-pass k-core (preprocess.py:130-137) using
         the FULL-dump counts from pass 1 — identical to filtering the
         concatenated frame;
-      * a time prefilter at window_start - history_months: rows older than
-        that can influence neither the final trailing window
+      * a time prefilter at window_start - history_months: rows older
+        than that can influence neither the final trailing window
         (preprocess.py:514-520) nor any kept row's trailing history
-        sequence (preprocess.py:189-236), so dropping them is lossless;
-      while accumulating per-user rating sums/counts over ALL k-core
-      survivors (not just margin survivors) — the reference's
-      label = rating > user-mean uses the user's full post-k-core history.
+        sequence (preprocess.py:189-236), so dropping them is lossless.
 
     Returns (ratings_df, user_mean) where ratings_df holds only the
     margin-window k-core survivors and user_mean is a Series indexed by
@@ -101,42 +109,48 @@ def stream_amazon_ratings(ratings_path: str, k_cores: int = 3,
     read = dict(header=None, names=names, engine="c", on_bad_lines="skip",
                 chunksize=chunksize)
 
-    _log("pass 1/2: counting users/items (streaming)")
+    _log("pass 1/3: counting users/items (streaming)")
     user_count = pd.Series(dtype=np.int64)
     item_count = pd.Series(dtype=np.int64)
-    end_ts = None
     for chunk in pd.read_csv(ratings_path, **read):
         user_count = user_count.add(chunk["userid"].value_counts(),
                                     fill_value=0)
         item_count = item_count.add(chunk["itemid"].value_counts(),
                                     fill_value=0)
-        m = chunk["timestamp"].max()
-        end_ts = m if end_ts is None else max(end_ts, m)
+    keep_users = set(user_count[user_count >= k_cores].index)
+    keep_items = set(item_count[item_count >= k_cores].index)
+    del user_count, item_count
+
+    _log("pass 2/3: post-k-core window anchor + user means (streaming)")
+    end_ts = None
+    rating_sum = pd.Series(dtype=np.float64)
+    rating_cnt = pd.Series(dtype=np.int64)
+    for chunk in pd.read_csv(ratings_path, **read):
+        core = chunk.loc[chunk["userid"].isin(keep_users)
+                         & chunk["itemid"].isin(keep_items)]
+        if len(core):
+            m = core["timestamp"].max()
+            end_ts = m if end_ts is None else max(end_ts, m)
+        g = core.groupby("userid")["rating"]
+        rating_sum = rating_sum.add(g.sum(), fill_value=0.0)
+        rating_cnt = rating_cnt.add(g.count(), fill_value=0)
     if end_ts is None:
-        raise ValueError(f"empty ratings file {ratings_path}")
+        raise ValueError(
+            f"no k-core survivors in ratings file {ratings_path}")
+    user_mean = rating_sum / rating_cnt
 
     days_n = 30 * prepare2train_month + prepare2train_month // 2
     window_start = int(end_ts) - int(timedelta(days=days_n - 1).total_seconds())
     margin_start = window_start - int(
         timedelta(days=30 * history_months - 1).total_seconds())
 
-    _log("pass 2/2: k-core + window-margin filter (streaming)")
-    keep_users = set(user_count[user_count >= k_cores].index)
-    keep_items = set(item_count[item_count >= k_cores].index)
-    del user_count, item_count
+    _log("pass 3/3: k-core + window-margin filter (streaming)")
     kept = []
-    rating_sum = pd.Series(dtype=np.float64)
-    rating_cnt = pd.Series(dtype=np.int64)
     for chunk in pd.read_csv(ratings_path, **read):
         core = chunk.loc[chunk["userid"].isin(keep_users)
                          & chunk["itemid"].isin(keep_items)]
-        # user means over ALL k-core survivors (labels are window-agnostic)
-        g = core.groupby("userid")["rating"]
-        rating_sum = rating_sum.add(g.sum(), fill_value=0.0)
-        rating_cnt = rating_cnt.add(g.count(), fill_value=0)
         kept.append(core.loc[core["timestamp"] >= margin_start])
     ratings = pd.concat(kept, ignore_index=True)
-    user_mean = rating_sum / rating_cnt
     _log(f"{len(ratings)} rows kept "
          f"(k-core users={len(keep_users)}, items={len(keep_items)})")
     return ratings, user_mean

@@ -92,11 +92,13 @@ def lookup_reference(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
 # EVERY shard. CTR batches are heavily duplicated (a single-domain batch has
 # ONE distinct domain id, ≤7 weekdays, …), so u ≪ n.
 #
-# Capacity is a STATIC shape: ids that overflow their owner bucket come back
-# as zero rows (and their gradients are dropped). Callers bound it host-side
-# with ``a2a_required_capacity`` — the same host-checked cond-free dispatch
-# idiom as trainer.batch_fits_kernel — or pass capacity=None for the
-# always-exact (capacity=n) setting.
+# Capacity is a STATIC shape. Ids that overflow their owner bucket POISON
+# the whole output with NaN: an undersized capacity must never silently
+# train on zero rows / dropped gradients — the trainers' finite checks trip
+# instead (and check_a2a_capacity fails fast host-side on the first batch).
+# Callers bound capacity with ``a2a_required_capacity`` — the same
+# host-checked cond-free dispatch idiom as trainer.batch_fits_kernel — or
+# pass capacity=None for the always-exact (capacity=n) setting.
 #
 # The backward pass is an explicit custom_vjp: scatter-add the output
 # cotangent over the dedup map, route the unique-row cotangents back to their
@@ -168,10 +170,17 @@ def _fwd_local(cfg: _A2ACfg, table_l, ids_l):
     # un-bucket: unique k lives at (owner_k, k - start[owner_k])
     owner_k = jnp.clip(compact // cfg.rows_per, 0, m - 1)
     slot_k = jnp.arange(n) - start[owner_k]
-    in_cap = (slot_k < c) & (compact < cfg.n_rows)
+    real = compact < cfg.n_rows
+    in_cap = (slot_k < c) & real
     flat_idx = owner_k * c + jnp.clip(slot_k, 0, c - 1)
     unique_rows = jnp.where(in_cap[:, None],
                             urows.reshape(m * c, e)[flat_idx], 0.0)
+    # An undersized static capacity must FAIL LOUDLY, not silently train on
+    # zero rows with dropped gradients: poison the batch with NaN so the
+    # trainers' finite checks trip (see module notes; check_a2a_capacity
+    # catches the misconfiguration host-side before the first dispatch).
+    overflowed = jnp.any((slot_k >= c) & real)
+    unique_rows = unique_rows + jnp.where(overflowed, jnp.nan, 0.0)
     return unique_rows[inv].reshape(ids_l.shape + (e,))
 
 
@@ -230,8 +239,10 @@ def a2a_required_capacity(ids: np.ndarray, n_rows: int, n_model: int,
     """Host-side exact capacity bound for a batch of ids.
 
     The max, over data shards, of the largest per-owner unique-id bucket.
-    Trainers call this once per epoch schedule (like batch_fits_kernel) and
-    bake the result into the jitted step as the static capacity.
+    Callers measure their batch stream with this and bake the result into
+    the jitted step as the static capacity (the trainers fail fast via
+    ``check_a2a_capacity`` on their first batch; a later batch that still
+    overflows NaN-poisons its step — see _fwd_local).
     """
     ids = np.asarray(ids).reshape(n_data, -1)
     rows_per = -(-n_rows // n_model)
@@ -244,6 +255,38 @@ def a2a_required_capacity(ids: np.ndarray, n_rows: int, n_model: int,
     return worst
 
 
+def check_a2a_capacity(config, mesh: Mesh, spec, embed_dim: int,
+                       x_np) -> None:
+    """Fail-fast host check for a bounded ``config.a2a_capacity`` against a
+    real batch (mirrors trainer.batch_fits_kernel's host-checked dispatch
+    idiom). Trainers call this on the first batch of fit() so the common
+    misconfiguration — a capacity below what the data actually needs —
+    raises with an actionable message instead of NaN-poisoning step 1.
+    No-op when embed_lookup != 'a2a' or capacity is 0/None (always-exact)."""
+    if getattr(config, "embed_lookup", "gspmd") != "a2a" or mesh is None:
+        return
+    cap = int(getattr(config, "a2a_capacity", 0) or 0)
+    if cap <= 0:
+        return
+    from aread_tpu.ops.embedding import compute_offsets
+
+    offsets = np.asarray(compute_offsets(
+        spec.one_hot_dims, spec.n_seq_fields * spec.seq_maxlen,
+        spec.itemid_idx))
+    n_rows = int(np.sum(spec.one_hot_dims))
+    x = np.asarray(x_np).reshape(-1, offsets.shape[0])
+    ids = np.clip(x + offsets, 0, n_rows - 1)
+    need = a2a_required_capacity(ids, n_rows, mesh.shape["model"],
+                                 n_data=mesh.shape.get("data", 1))
+    if cap < need:
+        raise ValueError(
+            f"a2a_capacity={cap} is below this batch's requirement {need} "
+            f"(largest per-owner unique-id bucket; see "
+            f"a2a_required_capacity). An undersized capacity NaN-poisons "
+            f"the step — raise --a2a_capacity to >= {need} or pass 0 for "
+            f"the always-exact setting.")
+
+
 def a2a_lookup(table: jnp.ndarray, ids: jnp.ndarray, mesh: Mesh,
                capacity: int | None = None) -> jnp.ndarray:
     """Dedup + all-to-all row-sharded embedding gather (see module notes).
@@ -253,7 +296,8 @@ def a2a_lookup(table: jnp.ndarray, ids: jnp.ndarray, mesh: Mesh,
     capacity: static per-owner bucket size. None = always-exact local id
       count (B·F / data-axis) — correct for any id distribution but with
       no traffic win; pass a measured bound (a2a_required_capacity) to get
-      the O(unique-rows) exchange. Overflowed ids read as zero rows.
+      the O(unique-rows) exchange. An overflowing batch NaN-poisons its
+      output (loud failure; never silent zero rows / dropped gradients).
     returns [B, F, E] sharded P('data', None, None); differentiable w.r.t.
       ``table`` (scatter-add transpose, psum'd over 'data').
     """

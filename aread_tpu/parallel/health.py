@@ -74,8 +74,12 @@ def watchdog(timeout_s: Optional[float], tag: str = "",
     t0 = time.perf_counter()
     try:
         yield
-        completed.set()
     finally:
+        # Set in the finally so an EXCEPTION leaving the block also counts
+        # as completed: a timer firing during the unwind (or between the
+        # raise and cancel()) must not os._exit(42) and mask the real
+        # traceback — the kill contract is for work that never returns.
+        completed.set()
         timer.cancel()
     if breached.is_set():
         raise HealthError(

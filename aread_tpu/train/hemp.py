@@ -104,11 +104,23 @@ class AREADTrainer:
         spec, embed_dim = model.spec, model.embed_dim
         sparse = cfg.sparse_table_grad
 
+        # config.embed_lookup routing (gspmd | a2a) — the SAME context the
+        # generic Trainer applies (trainer.embed_lookup_ctx). Every
+        # model.apply below goes through apply_model so AREAD's warm-up /
+        # bagging / HEMP fast-adapt / eval paths all honor the knob (it was
+        # silently ignored for --model aread before).
+        from aread_tpu.train.trainer import embed_lookup_ctx
+        _lookup_ctx = embed_lookup_ctx(cfg, self.mesh)
+
+        def apply_model(variables, *args, **kwargs):
+            with _lookup_ctx():
+                return model.apply(variables, *args, **kwargs)
+
         def bagging_loss(p, pert, state, batch, dm, rng, mode):
             variables = {"params": p, **state}
             if pert is not None:
                 variables["perturbations"] = pert
-            out, new_state = model.apply(
+            out, new_state = apply_model(
                 variables, batch["x"], domain_mask=dm, mode=mode,
                 train=True, mask=batch["valid"], mutable=list(state.keys()),
                 rngs={"dropout": rng})
@@ -271,7 +283,7 @@ class AREADTrainer:
 
             def probe(item):
                 batch = materialize(extra, item)
-                out = model.apply({"params": params, **state}, batch["x"],
+                out = apply_model({"params": params, **state}, batch["x"],
                                   domain_mask=mask, mode="domain_with_mask",
                                   train=False)
                 prob = jnp.clip(out["prob"], 1e-7, 1 - 1e-7)
@@ -326,7 +338,7 @@ class AREADTrainer:
             (run.py:651-657 runs them as separate no-grad steps — the
             model is not mutated, so stacking is exact)."""
             def one(batch):
-                out = model.apply({"params": params, **state}, batch["x"],
+                out = apply_model({"params": params, **state}, batch["x"],
                                   domain_mask=dm, mode="domain_with_mask",
                                   train=False)
                 prob = jnp.clip(out["prob"], 1e-7, 1 - 1e-7)
@@ -342,7 +354,7 @@ class AREADTrainer:
         def eval_loss_step(params, state, batch, dm):
             """No-grad eval probe: BCE on mean-over-active-leaves prob + reg
             (run.py:651-657, mode='domain_with_mask')."""
-            out = model.apply({"params": params, **state}, batch["x"],
+            out = apply_model({"params": params, **state}, batch["x"],
                               domain_mask=dm, mode="domain_with_mask", train=False)
             prob = jnp.clip(out["prob"], 1e-7, 1 - 1e-7)
             bce = masked_mean(-(batch["y"] * jnp.log(prob)
@@ -352,7 +364,7 @@ class AREADTrainer:
 
         @jax.jit
         def eval_prob_step(params, state, batch, dm):
-            out = model.apply({"params": params, **state}, batch["x"],
+            out = apply_model({"params": params, **state}, batch["x"],
                               domain_mask=dm, mode="domain_with_mask", train=False)
             return out["prob"]
 
@@ -361,7 +373,7 @@ class AREADTrainer:
             """Prediction through the trained final gate (reference
             test(aread_final=True), run.py:714-727 with mode
             'domain_mask_final')."""
-            out = model.apply({"params": params, **state}, batch["x"],
+            out = apply_model({"params": params, **state}, batch["x"],
                               domain_mask=dm, mode="domain_mask_final",
                               train=False)
             return out["prob"]
@@ -375,7 +387,7 @@ class AREADTrainer:
         def make_accum(eval_mode):
             @jax.jit
             def accum(params, state, batch, dm, d, auc_state):
-                out = model.apply({"params": params, **state}, batch["x"],
+                out = apply_model({"params": params, **state}, batch["x"],
                                   domain_mask=dm, mode=eval_mode, train=False)
                 domains = jnp.full(out["prob"].shape, d, jnp.int32)
                 return acc.update(auc_state, out["prob"], batch["y"], domains,
@@ -968,6 +980,12 @@ class AREADTrainer:
 
         init_rng, rng = jax.random.split(rng)
         sample = train_b.next_batch(int(np.argmax([len(i) for i in train_b.domain_indices])))
+        if cfg.embed_lookup == "a2a" and cfg.a2a_capacity:
+            # fail fast on an undersized static a2a bucket (a later batch
+            # that still overflows NaN-poisons its step — embed_shard)
+            from aread_tpu.parallel.embed_shard import check_a2a_capacity
+            check_a2a_capacity(cfg, self.mesh, self.model.spec,
+                               self.model.embed_dim, sample["x"])
         params, state, opt_state = self.init(init_rng, sample)
         if warm_start is not None:
             from aread_tpu.train.trainer import adopt_tree

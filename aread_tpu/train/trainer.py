@@ -166,6 +166,32 @@ def hybrid_update(optimizer: optax.GradientTransformation, lr: float, wd: float,
     return merge_table(new_rest, new_table), new_opt_state
 
 
+def embed_lookup_ctx(config, mesh):
+    """Zero-arg context-manager factory routing FeaturesEmbedding row
+    gathers per ``config.embed_lookup``: 'gspmd' (default) leaves the plain
+    jnp.take for XLA to partition; 'a2a' routes through the explicit dedup
+    + all-to-all exchange (parallel/embed_shard.a2a_lookup). Shared by
+    Trainer and AREADTrainer so the knob applies to EVERY model's steps —
+    validation included (an unknown value must fail loudly for both)."""
+    if config.embed_lookup == "a2a":
+        if mesh is None:
+            raise ValueError("embed_lookup='a2a' needs a device mesh")
+        from functools import partial as _partial
+
+        from aread_tpu.ops.embedding import lookup_override
+        from aread_tpu.parallel.embed_shard import a2a_lookup
+
+        return _partial(
+            lookup_override,
+            _partial(a2a_lookup, mesh=mesh,
+                     capacity=config.a2a_capacity or None))
+    if config.embed_lookup != "gspmd":
+        raise ValueError(f"embed_lookup={config.embed_lookup!r}")
+    import contextlib
+
+    return contextlib.nullcontext
+
+
 def embedding_flat_ids(spec, x) -> jnp.ndarray:
     """The table row each input column gathers (offsets applied, clipped
     exactly like the forward's take(mode='clip')) — the sparse scatter
@@ -460,24 +486,7 @@ class Trainer:
         # mesh-only: optionally route the table gather through the explicit
         # dedup + all-to-all exchange (config.embed_lookup='a2a'). Applied
         # at trace time inside every jit wrapper of this step body.
-        if self.config.embed_lookup == "a2a":
-            if mesh is None:
-                raise ValueError("embed_lookup='a2a' needs a device mesh")
-            from functools import partial as _partial
-
-            from aread_tpu.ops.embedding import lookup_override
-            from aread_tpu.parallel.embed_shard import a2a_lookup
-
-            _lookup_ctx = _partial(
-                lookup_override,
-                _partial(a2a_lookup, mesh=mesh,
-                         capacity=self.config.a2a_capacity or None))
-        elif self.config.embed_lookup != "gspmd":
-            raise ValueError(f"embed_lookup={self.config.embed_lookup!r}")
-        else:
-            import contextlib
-
-            _lookup_ctx = contextlib.nullcontext
+        _lookup_ctx = embed_lookup_ctx(self.config, mesh)
 
         def step_core(params, state, opt_state, batch, rng,
                       no_overflow=False):
@@ -856,6 +865,12 @@ class Trainer:
                                 data.spec.domain_idx, d2g, seed=cfg.seed)
         init_rng, rng = jax.random.split(rng)
         sample = batcher.sample_batch()  # shape-only; epoch stream untouched
+        if cfg.embed_lookup == "a2a" and cfg.a2a_capacity:
+            # fail fast on an undersized static a2a bucket (a later batch
+            # that still overflows NaN-poisons its step — embed_shard)
+            from aread_tpu.parallel.embed_shard import check_a2a_capacity
+            check_a2a_capacity(cfg, self.mesh, self.model.spec,
+                               self.model.embed_dim, sample["x"])
         params, state, opt_state = self.init(init_rng, sample)
         if warm_start is not None:
             params = adopt_tree(params, warm_start["params"])

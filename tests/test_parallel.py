@@ -101,17 +101,35 @@ def test_a2a_lookup_under_jit_with_shardings():
     np.testing.assert_array_equal(np.asarray(f(ts, ish)), want)
 
 
-def test_a2a_lookup_overflow_reads_zero_rows():
-    """Ids past the static bucket capacity come back as zeros (documented
-    contract; callers bound capacity host-side via a2a_required_capacity)."""
+def test_a2a_lookup_overflow_poisons_with_nan():
+    """Ids past the static bucket capacity NaN-poison the output (loud
+    failure contract): an undersized capacity must never silently train on
+    zero rows with dropped gradients — the trainers' finite checks trip
+    instead. Callers bound capacity host-side via a2a_required_capacity."""
     mesh = make_mesh(data=4, model=2)
     table = jnp.ones((64, 4), jnp.float32)
     ids = jnp.asarray(np.arange(80).reshape(16, 5) % 64, jnp.int32)
     out = np.asarray(a2a_lookup(table, ids, mesh, capacity=1))
-    assert (out == 0).any() and (out == 1).any()
-    # gradients of overflowed slots are dropped, not corrupted
-    g = jax.grad(lambda t: a2a_lookup(t, ids, mesh, capacity=1).sum())(table)
-    assert np.isfinite(np.asarray(g)).all()
+    assert np.isnan(out).any()
+    # a sufficient capacity stays clean on the same ids
+    cap = a2a_required_capacity(np.asarray(ids), 64, 2, n_data=4)
+    ok = np.asarray(a2a_lookup(table, ids, mesh, capacity=cap))
+    assert np.isfinite(ok).all()
+
+
+def test_check_a2a_capacity_fails_fast(synthetic_data):
+    """Trainer.fit with an undersized --a2a_capacity raises an actionable
+    error on the first batch instead of NaN-poisoning step 1."""
+    import dataclasses
+
+    data = synthetic_data
+    data = dataclasses.replace(data, spec=data.spec.pad_vocab(2))
+    mesh = make_mesh(data=4, model=2)
+    cfg = Config(bs=256, embed_dim=8, embed_lookup="a2a", a2a_capacity=1)
+    model = DeepFM(spec=data.spec, embed_dim=8, mlp_dims=(16,))
+    trainer = Trainer(model, cfg, data.n_domain, mesh=mesh)
+    with pytest.raises(ValueError, match="a2a_capacity"):
+        trainer.fit(data, epochs=1, verbose=False)
 
 
 def test_a2a_sharded_step_matches_gspmd_step(synthetic_data):
@@ -254,6 +272,48 @@ def test_trainer_a2a_requires_mesh():
     trainer = Trainer(model, cfg, data.n_domain)  # no mesh
     with pytest.raises(ValueError, match="mesh"):
         trainer._build_step_core()
+
+
+def test_aread_trainer_honors_embed_lookup(synthetic_data):
+    """--embed_lookup applies to --model aread too (it was silently
+    ignored by AREADTrainer before): an a2a fit under the mesh matches the
+    GSPMD fit's losses, and an invalid value fails loudly."""
+    import dataclasses
+
+    from aread_tpu.models.aread import AREAD
+    from aread_tpu.train.hemp import AREADTrainer
+
+    data = synthetic_data
+    data = dataclasses.replace(data, spec=data.spec.pad_vocab(2))
+    mesh = make_mesh(data=4, model=2)
+
+    def fit(lookup):
+        cfg = Config(bs=256, embed_dim=8, epoch=1, warm_up_interval=1,
+                     regroup_interval=1, candidate_mask_num=1,
+                     regroup_update_step=1, regroup_eval_step=1, dropout=0.0,
+                     embed_lookup=lookup)
+        model = AREAD(spec=data.spec, embed_dim=8, n_tower=(2, 4),
+                      n_domain=data.n_domain, base_model="mmoe",
+                      expert_dims=(16, 8), tower_dims=((8, 6), (6, 4)),
+                      mmoe_n_expert=2, dropout=0.0)
+        trainer = AREADTrainer(model, cfg, data.n_domain, mesh=mesh)
+        return trainer.fit(data, epochs=1, verbose=False)
+
+    r1, r2 = fit("gspmd"), fit("a2a")
+    np.testing.assert_allclose(r1["history"][-1]["train_loss"],
+                               r2["history"][-1]["train_loss"], rtol=1e-5)
+    np.testing.assert_allclose(r1["test"]["total_auc"],
+                               r2["test"]["total_auc"], atol=1e-6)
+
+    from aread_tpu.train.hemp import AREADTrainer as AT
+    cfg_bad = Config(bs=64, embed_dim=8, embed_lookup="nope")
+    model = AREAD(spec=data.spec, embed_dim=8, n_tower=(2, 4),
+                  n_domain=data.n_domain, base_model="mmoe",
+                  expert_dims=(16, 8), tower_dims=((8, 6), (6, 4)),
+                  mmoe_n_expert=2)
+    t = AT(model, cfg_bad, data.n_domain, mesh=mesh)
+    with pytest.raises(ValueError, match="embed_lookup"):
+        t._build_fns()
 
 
 def test_hemp_evolution_under_mesh_matches_unsharded(synthetic_data):
