@@ -182,8 +182,11 @@ class Config:
     # the plain gather (robust default); 'a2a' routes it through the
     # explicit dedup + all-to-all exchange (parallel/embed_shard.
     # a2a_lookup — measured 5.4x less ICI traffic at Amazon shapes,
-    # BASELINE.md). a2a_capacity is its static per-owner bucket bound
-    # (0 = always-exact local id count; see a2a_required_capacity).
+    # BASELINE.md). a2a_capacity is its static per-owner bucket bound:
+    # 0 (default) = AUTO — the trainers calibrate it from sample batches
+    # with 1.25x headroom before tracing (embed_shard.
+    # resolve_a2a_capacity); >0 = manual bound (validated, fail-fast);
+    # -1 = always-exact local id count (no traffic win).
     embed_lookup: str = "gspmd"
     a2a_capacity: int = 0
     epoch_timeout_s: float = 0.0

@@ -94,11 +94,13 @@ def lookup_reference(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
 #
 # Capacity is a STATIC shape. Ids that overflow their owner bucket POISON
 # the whole output with NaN: an undersized capacity must never silently
-# train on zero rows / dropped gradients — the trainers' finite checks trip
-# instead (and check_a2a_capacity fails fast host-side on the first batch).
-# Callers bound capacity with ``a2a_required_capacity`` — the same
-# host-checked cond-free dispatch idiom as trainer.batch_fits_kernel — or
-# pass capacity=None for the always-exact (capacity=n) setting.
+# train on zero rows / dropped gradients — the trainers' epoch-level host
+# finite check (trainer.raise_if_nonfinite, called on every fetched epoch
+# loss) raises loudly instead. The trainers auto-calibrate the bound via
+# ``resolve_a2a_capacity`` (sampled batches x headroom) before tracing —
+# the same host-checked cond-free dispatch idiom as
+# trainer.batch_fits_kernel — and validate any manual bound fail-fast;
+# capacity=None is the always-exact (capacity=n) setting.
 #
 # The backward pass is an explicit custom_vjp: scatter-add the output
 # cotangent over the dedup map, route the unique-row cotangents back to their
@@ -177,8 +179,8 @@ def _fwd_local(cfg: _A2ACfg, table_l, ids_l):
                             urows.reshape(m * c, e)[flat_idx], 0.0)
     # An undersized static capacity must FAIL LOUDLY, not silently train on
     # zero rows with dropped gradients: poison the batch with NaN so the
-    # trainers' finite checks trip (see module notes; check_a2a_capacity
-    # catches the misconfiguration host-side before the first dispatch).
+    # trainers' epoch-level finite check raises (see module notes;
+    # resolve_a2a_capacity calibrates/validates host-side before tracing).
     overflowed = jnp.any((slot_k >= c) & real)
     unique_rows = unique_rows + jnp.where(overflowed, jnp.nan, 0.0)
     return unique_rows[inv].reshape(ids_l.shape + (e,))
@@ -255,19 +257,15 @@ def a2a_required_capacity(ids: np.ndarray, n_rows: int, n_model: int,
     return worst
 
 
-def check_a2a_capacity(config, mesh: Mesh, spec, embed_dim: int,
-                       x_np) -> None:
-    """Fail-fast host check for a bounded ``config.a2a_capacity`` against a
-    real batch (mirrors trainer.batch_fits_kernel's host-checked dispatch
-    idiom). Trainers call this on the first batch of fit() so the common
-    misconfiguration — a capacity below what the data actually needs —
-    raises with an actionable message instead of NaN-poisoning step 1.
-    No-op when embed_lookup != 'a2a' or capacity is 0/None (always-exact)."""
-    if getattr(config, "embed_lookup", "gspmd") != "a2a" or mesh is None:
-        return
-    cap = int(getattr(config, "a2a_capacity", 0) or 0)
-    if cap <= 0:
-        return
+def lookup_ids(spec, embed_dim: int, x_np) -> Tuple[np.ndarray, int]:
+    """The exact (row ids, table row count) ``gather_rows`` sees for a batch
+    under the ACTIVE storage mode.
+
+    Under flat storage (FeatureSpec.with_flat_table — the production
+    default), the lookup gathers ``fids // rpf`` against the
+    ``[n_rows/rpf, 128]`` flat table (ops/embedding.py), so any capacity
+    math on the logical ids both overestimates the per-owner unique counts
+    and uses the wrong row space (ADVICE r2)."""
     from aread_tpu.ops.embedding import compute_offsets
 
     offsets = np.asarray(compute_offsets(
@@ -276,6 +274,25 @@ def check_a2a_capacity(config, mesh: Mesh, spec, embed_dim: int,
     n_rows = int(np.sum(spec.one_hot_dims))
     x = np.asarray(x_np).reshape(-1, offsets.shape[0])
     ids = np.clip(x + offsets, 0, n_rows - 1)
+    if getattr(spec, "flat_table", False):
+        rpf = 128 // embed_dim
+        return ids // rpf, n_rows // rpf
+    return ids, n_rows
+
+
+def check_a2a_capacity(config, mesh: Mesh, spec, embed_dim: int,
+                       x_np) -> None:
+    """Fail-fast host check for a bounded ``config.a2a_capacity`` against a
+    real batch (mirrors trainer.batch_fitskernel's host-checked dispatch
+    idiom). Raises with an actionable message instead of NaN-poisoning
+    step 1. No-op when embed_lookup != 'a2a' or capacity <= 0 (auto /
+    always-exact)."""
+    if getattr(config, "embed_lookup", "gspmd") != "a2a" or mesh is None:
+        return
+    cap = int(getattr(config, "a2a_capacity", 0) or 0)
+    if cap <= 0:
+        return
+    ids, n_rows = lookup_ids(spec, embed_dim, x_np)
     need = a2a_required_capacity(ids, n_rows, mesh.shape["model"],
                                  n_data=mesh.shape.get("data", 1))
     if cap < need:
@@ -283,8 +300,70 @@ def check_a2a_capacity(config, mesh: Mesh, spec, embed_dim: int,
             f"a2a_capacity={cap} is below this batch's requirement {need} "
             f"(largest per-owner unique-id bucket; see "
             f"a2a_required_capacity). An undersized capacity NaN-poisons "
-            f"the step — raise --a2a_capacity to >= {need} or pass 0 for "
-            f"the always-exact setting.")
+            f"the step — raise --a2a_capacity to >= {need}, pass 0 to "
+            f"auto-calibrate, or -1 for the always-exact setting.")
+
+
+def resolve_a2a_capacity(config, mesh: Mesh, spec, embed_dim: int,
+                         pools, *, n_batches: int = 32,
+                         headroom: float = 1.25, seed: int = 0,
+                         verbose: bool = False) -> int:
+    """Resolve ``config.a2a_capacity`` before any step is traced.
+
+    ``pools``: sequence of ``(rows_array, batch_size)`` — the batch streams
+    the run will actually dispatch (train batches at cfg.bs AND eval
+    batches at their larger eval bs; one static capacity serves every
+    jitted fn). Semantics of the incoming knob:
+
+      0/None (default) -> AUTO: measure ``a2a_required_capacity`` over up
+          to ``n_batches`` seeded random sample batches per pool, multiply
+          by ``headroom`` and round up to a multiple of 8. Later batches
+          that still overflow NaN-poison their step and the trainers'
+          epoch-level finite check raises loudly (never a silent zero-row
+          gather).
+      >0 -> manual bound, validated against the same calibration sample
+          (raises like check_a2a_capacity if undersized).
+      <0 -> always-exact (capacity = local id count; correct for any id
+          mix, no traffic win).
+
+    Returns the resolved capacity (callers write it back to the config so
+    embed_lookup_ctx bakes it into the jitted steps). No-op — returns the
+    knob untouched — when embed_lookup != 'a2a' or there is no mesh."""
+    if getattr(config, "embed_lookup", "gspmd") != "a2a" or mesh is None:
+        return getattr(config, "a2a_capacity", 0)
+    cap = int(getattr(config, "a2a_capacity", 0) or 0)
+    if cap < 0:
+        return cap
+    n_model = mesh.shape["model"]
+    n_data = mesh.shape.get("data", 1)
+    rng = np.random.default_rng(seed)
+    need = 1
+    for arr, bs in pools:
+        if arr is None or len(arr) == 0:
+            continue
+        arr = np.asarray(arr)
+        size = min(int(bs), len(arr))
+        size = max(n_data, size - size % n_data)
+        for _ in range(n_batches):
+            idx = rng.choice(len(arr), size=size, replace=size > len(arr))
+            ids, n_rows = lookup_ids(spec, embed_dim, arr[idx])
+            need = max(need, a2a_required_capacity(ids, n_rows, n_model,
+                                                   n_data=n_data))
+    if cap > 0:
+        if cap < need:
+            raise ValueError(
+                f"a2a_capacity={cap} is below the calibrated requirement "
+                f"{need} (largest per-owner unique-id bucket over "
+                f"{n_batches} sample batches per pool). An undersized "
+                f"capacity NaN-poisons the step — raise --a2a_capacity to "
+                f">= {need}, pass 0 to auto-calibrate, or -1 for the "
+                f"always-exact setting.")
+        return cap
+    auto = int(-(-int(np.ceil(need * headroom)) // 8) * 8)
+    if verbose:
+        print(f"a2a_capacity auto-calibrated: {auto} "
+              f"(measured requirement {need} x{headroom} headroom)")
+    return auto
 
 
 def a2a_lookup(table: jnp.ndarray, ids: jnp.ndarray, mesh: Mesh,

@@ -980,12 +980,17 @@ class AREADTrainer:
 
         init_rng, rng = jax.random.split(rng)
         sample = train_b.next_batch(int(np.argmax([len(i) for i in train_b.domain_indices])))
-        if cfg.embed_lookup == "a2a" and cfg.a2a_capacity:
-            # fail fast on an undersized static a2a bucket (a later batch
-            # that still overflows NaN-poisons its step — embed_shard)
-            from aread_tpu.parallel.embed_shard import check_a2a_capacity
-            check_a2a_capacity(cfg, self.mesh, self.model.spec,
-                               self.model.embed_dim, sample["x"])
+        # resolve the a2a exchange capacity BEFORE any step is traced
+        # (unconditional — internal no-op unless embed_lookup='a2a'): auto-
+        # calibrates when unset, validates a manual bound; pools cover the
+        # augmented fast-adapt batches and the 8x eval batches too (one
+        # static capacity serves every jitted fn)
+        from aread_tpu.parallel.embed_shard import resolve_a2a_capacity
+        cfg.a2a_capacity = resolve_a2a_capacity(
+            cfg, self.mesh, self.model.spec, self.model.embed_dim,
+            [(data.train_x, cfg.bs), (aug_x, cfg.bs),
+             (data.valid_x, eval_bs), (data.test_x, eval_bs)],
+            verbose=verbose)
         params, state, opt_state = self.init(init_rng, sample)
         if warm_start is not None:
             from aread_tpu.train.trainer import adopt_tree
@@ -1047,6 +1052,8 @@ class AREADTrainer:
                 params, state, opt_state, rng, train_loss = self.train_epoch(
                     params, state, opt_state, epoch_i, train_b, aug_b, rng,
                     verbose)
+            from aread_tpu.train.trainer import raise_if_nonfinite
+            raise_if_nonfinite(train_loss, epoch_i, cfg)
             train_b.shuffle_seq()
             result = self.evaluate(params, state, valid_b, data.domain_cnt_weight)
             result["train_loss"] = train_loss
@@ -1098,6 +1105,8 @@ class AREADTrainer:
                 t0 = time.time()
                 params, state, final_opt_state, rng, floss = self.train_final_epoch(
                     params, state, final_opt_state, epoch_i, train_b, rng, verbose)
+                from aread_tpu.train.trainer import raise_if_nonfinite
+                raise_if_nonfinite(floss, epoch_i, cfg)
                 train_b.shuffle_seq()
                 result = self.evaluate(params, state, valid_b,
                                        data.domain_cnt_weight, final=True)

@@ -181,15 +181,40 @@ def embed_lookup_ctx(config, mesh):
         from aread_tpu.ops.embedding import lookup_override
         from aread_tpu.parallel.embed_shard import a2a_lookup
 
+        cap = int(config.a2a_capacity or 0)
         return _partial(
             lookup_override,
+            # <=0 -> always-exact; fit() resolves 0 (auto) to a measured
+            # bound via resolve_a2a_capacity before any step is traced
             _partial(a2a_lookup, mesh=mesh,
-                     capacity=config.a2a_capacity or None))
+                     capacity=cap if cap > 0 else None))
     if config.embed_lookup != "gspmd":
         raise ValueError(f"embed_lookup={config.embed_lookup!r}")
     import contextlib
 
     return contextlib.nullcontext
+
+
+def raise_if_nonfinite(train_loss, epoch_i: int, config) -> None:
+    """Host-side NaN guard on the fetched per-epoch train loss (ADVICE r2).
+
+    Without it, a NaN-poisoned run (a2a capacity overflow on a late batch,
+    lr blowup, bad data) sails into evaluate(); is_continuable sees NaN
+    metrics, NaN > best is False, and the run quietly early-stops as if
+    converged. Raise loudly with the likely causes instead."""
+    if np.isfinite(float(train_loss)):
+        return
+    hints = ["lr too high", "non-finite rows in the input"]
+    if getattr(config, "embed_lookup", "gspmd") == "a2a" and \
+            int(getattr(config, "a2a_capacity", 0) or 0) > 0:
+        hints.insert(0, (
+            f"a2a_capacity={config.a2a_capacity} overflowed on a batch "
+            "after calibration (the exchange NaN-poisons instead of "
+            "silently dropping rows) — raise it or pass -1 for always-"
+            "exact"))
+    raise FloatingPointError(
+        f"non-finite train loss {train_loss} at epoch {epoch_i + 1}; "
+        "possible causes: " + "; ".join(hints))
 
 
 def embedding_flat_ids(spec, x) -> jnp.ndarray:
@@ -865,12 +890,15 @@ class Trainer:
                                 data.spec.domain_idx, d2g, seed=cfg.seed)
         init_rng, rng = jax.random.split(rng)
         sample = batcher.sample_batch()  # shape-only; epoch stream untouched
-        if cfg.embed_lookup == "a2a" and cfg.a2a_capacity:
-            # fail fast on an undersized static a2a bucket (a later batch
-            # that still overflows NaN-poisons its step — embed_shard)
-            from aread_tpu.parallel.embed_shard import check_a2a_capacity
-            check_a2a_capacity(cfg, self.mesh, self.model.spec,
-                               self.model.embed_dim, sample["x"])
+        # resolve the a2a exchange capacity BEFORE any step is traced
+        # (unconditional — internal no-op unless embed_lookup='a2a'):
+        # auto-calibrates when unset, validates a manual bound, and covers
+        # the 8x eval batches too (one static capacity serves every jit)
+        from aread_tpu.parallel.embed_shard import resolve_a2a_capacity
+        cfg.a2a_capacity = resolve_a2a_capacity(
+            cfg, self.mesh, self.model.spec, self.model.embed_dim,
+            [(data.train_x, cfg.bs), (data.valid_x, cfg.bs * 8),
+             (data.test_x, cfg.bs * 8)], verbose=verbose)
         params, state, opt_state = self.init(init_rng, sample)
         if warm_start is not None:
             params = adopt_tree(params, warm_start["params"])
@@ -925,6 +953,7 @@ class Trainer:
                         params, state, opt_state, rng, train_loss = \
                             self.train_epoch(params, state, opt_state,
                                              batcher, rng)
+                raise_if_nonfinite(train_loss, epoch_i, cfg)
                 result = self.evaluate(params, state, data.valid_x,
                                        data.valid_y, data.domain_cnt_weight)
                 result["train_loss"] = train_loss

@@ -115,7 +115,9 @@ def load_config() -> Config:
                              "at Amazon shapes; BASELINE.md)")
     parser.add_argument("--a2a_capacity", type=int, default=0,
                         help="static per-owner id-bucket bound for "
-                             "--embed_lookup a2a (0 = always-exact)")
+                             "--embed_lookup a2a (0 = auto-calibrated "
+                             "from sample batches with 1.25x headroom; "
+                             ">0 = manual, validated; -1 = always-exact)")
     parser.add_argument("--epoch_timeout_s", type=float, default=0.0,
                         help="failure detection: watchdog deadline per "
                              "train epoch (0 = off). Logs at the deadline "
