@@ -125,6 +125,10 @@ class Config:
     # JSONL metric sink directory (utils/runlog.py — the working
     # equivalent of the reference's wandb.log calls); None/empty = off
     log_dir: str = ""
+    # force a jax platform in-process ('cpu', 'tpu', ...; '' = backend
+    # default). The CLI needs this because the image pre-imports jax with
+    # a pinned platform, so JAX_PLATFORMS in a subprocess env is ignored.
+    platform: str = ""
 
     # TPU-native knobs (new)
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'

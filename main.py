@@ -68,6 +68,12 @@ def load_config() -> Config:
     parser.add_argument("--log_dir", default="",
                         help="JSONL metric sink dir (the working equivalent "
                              "of the reference's wandb.log calls); empty = off")
+    parser.add_argument("--platform", default="",
+                        help="force a jax platform (e.g. 'cpu') in-process; "
+                             "empty = leave the default backend. Needed "
+                             "because this image pre-imports jax with a "
+                             "pinned platform, so JAX_PLATFORMS in the "
+                             "environment is ignored by subprocesses")
     parser.add_argument("--mesh_data", type=int, default=1)
     parser.add_argument("--mesh_model", type=int, default=1)
     parser.add_argument("--table_optimizer", default="adam",
@@ -167,6 +173,8 @@ def preprocess_csv_path(cfg: Config) -> str:
 def main():
     cfg = load_config()
     import jax
+    if cfg.platform:
+        jax.config.update("jax_platforms", cfg.platform)
     jax.config.update("jax_default_prng_impl", cfg.prng_impl)
     from aread_tpu.utils.device_cleanup import install as install_device_cleanup
     install_device_cleanup()  # free HBM at exit — a leaked session blocks
