@@ -63,11 +63,14 @@ import config
 config.data_path = os.path.join({ws!r}, "data")  # not a CLI flag (config.py)
 # reference bug: MMoE/PLE append the raw [B, embed_output_dim] CrossNetwork
 # output to other_outs (mmoe.py:64-66) and tower_forward broadcasts it into
-# [B,1] logits (layer.py:53-54) -> RuntimeError; use_dcn=False is the only
-# runnable configuration for those models (our side runs with --use_dcn 0
-# too). AREAD concatenates cn_out properly (aread.py:175) so it keeps the
-# default.
-if {model!r} in ("mmoe", "ple", "pepnet", "epnet", "epnet-single"):
+# [B,1] logits (layer.py:53-54) -> RuntimeError; HiNet/ADL/AdaSparse add the
+# same raw cn_out straight into their [B,1] logits (hinet.py:90-92,
+# adl.py:92-94, adasparse.py:112-114) -> same crash. use_dcn=False is the
+# only runnable configuration for all of them (our side runs with
+# --use_dcn 0 too). STAR hardcodes use_dcn=False (star.py:28); AREAD
+# concatenates cn_out properly (aread.py:175) so it keeps the default.
+if {model!r} in ("mmoe", "ple", "pepnet", "epnet", "epnet-single",
+                 "hinet", "adl", "adasparse"):
     config.use_dcn = False
 from main import load_config
 from preprocess import DataPreprocessing
@@ -102,6 +105,23 @@ class RepairedRun(Run):
     run would require changing its evaluation semantics. The aread_tpu
     side runs fine (fixed-shape padded batches handle empty domains).
     """
+
+    def __init__(self, config):
+        super().__init__(config)
+        # Repair 5 — the is_concat_group signature bug (run.py:72,495):
+        # star/adl are routed as model(X, group, targets=y) but
+        # STAR.forward(self, x) (star.py:60) and ADL.forward(self, x)
+        # (adl.py:79) accept neither -> TypeError as shipped. STAR computes
+        # ALL towers ([B, n_tower], star.py:74-101) so the is_multi_tower
+        # gather branch (run.py:497-500) is its intended dispatch; ADL
+        # routes samples internally by DLM cluster (adl.py:79-117) and
+        # returns [B, 1], so the plain single-output branch is correct.
+        # HiNet's forward matches the concat_group call and stays as-is.
+        if self.model == "star":
+            self.is_concat_group = False
+        elif self.model == "adl":
+            self.is_concat_group = False
+            self.is_multi_tower = False
 
     def test(self, data_loader, model, mode='test'):
         """Repair 4: any domain whose eval split size is == 1 (mod bs)
@@ -233,7 +253,8 @@ def run_ours(model, ds, seed, epoch, timeout):
     argv = common_argv(model, ds, seed, epoch, True) + \
         ["--data_path", os.path.join(WS, "data"),
          "--save_path", os.path.join(WS, "save_tpu")]
-    if model in ("mmoe", "ple", "pepnet", "epnet", "epnet-single"):
+    if model in ("mmoe", "ple", "pepnet", "epnet", "epnet-single",
+                 "hinet", "adl", "adasparse"):
         argv += ["--use_dcn", "0"]  # match the reference's only runnable cfg
     env = dict(os.environ, AREAD_TPU_CACHE="0")
     out = subprocess.run([sys.executable, os.path.join(REPO, "main.py")]

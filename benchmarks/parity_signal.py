@@ -56,18 +56,23 @@ VOCAB = {"userid": 2000, "itemid": 3000, "121": 8, "122": 6, "124": 4,
          "301": 20, "109_14": 30, "110_14": 35, "127_14": 12, "150_14": 14}
 
 
-def generate(out_dir: str, n_rows: int, seed: int = 7) -> None:
+def generate(out_dir: str, n_rows: int, seed: int = 7,
+             vocab_overrides: dict | None = None) -> None:
+    """``vocab_overrides``: bump selected field vocabularies (e.g. userid/
+    itemid for the 2M-row scale run, benchmarks/scale_signal.py) while
+    keeping the same planted signal construction."""
     rng = np.random.default_rng(seed)
+    vocab = {**VOCAB, **(vocab_overrides or {})}
     cols = {}
-    for name, v in VOCAB.items():
+    for name, v in vocab.items():
         cols[name] = rng.integers(0, v, size=n_rows)
     # skewed domain sizes (the real AliCCP spans 9.7k..2.7M): Zipf-ish
     w = 1.0 / (np.arange(1, N_DOMAIN + 1) ** 0.8)
     cols["domain"] = rng.choice(N_DOMAIN, size=n_rows, p=w / w.sum())
 
-    u = 0.9 * rng.standard_normal(VOCAB["userid"])
-    i = 0.9 * rng.standard_normal(VOCAB["itemid"])
-    w301 = 0.5 * rng.standard_normal(VOCAB["301"])
+    u = 0.9 * rng.standard_normal(vocab["userid"])
+    i = 0.9 * rng.standard_normal(vocab["itemid"])
+    w301 = 0.5 * rng.standard_normal(vocab["301"])
     sign = np.where(rng.random(N_DOMAIN) < 0.5, 1.0, -1.0)
     logit = (u[cols["userid"]] + sign[cols["domain"]] * i[cols["itemid"]]
              + w301[cols["301"]])
