@@ -98,8 +98,18 @@ def _die_with_diagnostic(why: str, code: int) -> None:
     _emit(0.0, 0.0, error=f"{why} during phase '{_PHASE['name']}' at "
           f"{_elapsed():.0f}s — likely the TPU claim wait (a previously "
           "KILLED process's session holds the single-tenant chip for "
-          "~5-7 min) or a cold terminal-side compile")
+          "minutes; 11.9 min measured after a round-boundary SIGKILL) or "
+          "a cold terminal-side compile")
     sys.stdout.flush()
+    # os._exit skips atexit — free HBM here or the NEXT process's claim
+    # blocks for minutes (the very failure this bench keeps diagnosing).
+    # If this wedges (a signal can interrupt arbitrary jax code), the
+    # killer's SIGKILL follow-up still applies; the JSON is already out.
+    try:
+        from aread_tpu.utils.device_cleanup import release_device_arrays
+        release_device_arrays()
+    except Exception:
+        pass
     os._exit(code)
 
 
