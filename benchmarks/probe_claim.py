@@ -6,7 +6,11 @@ end-of-round `python bench.py` will not spend minutes waiting on HBM held
 by a dead process. Prints one line with the claim latency.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 t0 = time.time()
 import jax  # noqa: E402
