@@ -220,9 +220,34 @@ def run_reference(model, ds, seed, epoch, timeout):
     # fresh checkpoints per run: the reference picks save indices randomly
     # (run.py:92) and resumes the 'best' by scanning the folder
     shutil.rmtree(os.path.join(WS, "save"), ignore_errors=True)
-    out = subprocess.run([sys.executable, path], capture_output=True,
-                         text=True, timeout=timeout)
+    out = run_graceful([sys.executable, path], timeout)
     return parse_ref(out.stdout), out
+
+
+def run_graceful(cmd, timeout, **kw):
+    """subprocess.run(capture_output=True, text=True) that SIGTERMs on
+    timeout instead of SIGKILL.
+
+    subprocess.run's own timeout path SIGKILLs the child — which, for a
+    TPU child, leaks its resident HBM and blocks the single-tenant chip's
+    next claim for 15-20 min (measured 2026-08-21; CLAUDE.md). SIGTERM
+    lets device_cleanup's handler free device arrays first; a 60 s grace
+    precedes the final kill. Raises TimeoutExpired like subprocess.run so
+    callers are unchanged."""
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True, **kw)
+    try:
+        stdout, stderr = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        proc.terminate()
+        try:
+            stdout, stderr = proc.communicate(timeout=60)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            stdout, stderr = proc.communicate()
+        raise subprocess.TimeoutExpired(cmd, timeout, output=stdout,
+                                        stderr=stderr)
+    return subprocess.CompletedProcess(cmd, proc.returncode, stdout, stderr)
 
 
 def _literal(s):
@@ -257,9 +282,8 @@ def run_ours(model, ds, seed, epoch, timeout):
                  "hinet", "adl", "adasparse"):
         argv += ["--use_dcn", "0"]  # match the reference's only runnable cfg
     env = dict(os.environ, AREAD_TPU_CACHE="0")
-    out = subprocess.run([sys.executable, os.path.join(REPO, "main.py")]
-                         + argv, capture_output=True, text=True,
-                         timeout=timeout, cwd=REPO, env=env)
+    out = run_graceful([sys.executable, os.path.join(REPO, "main.py")]
+                       + argv, timeout, cwd=REPO, env=env)
     res = {}
     vals = re.findall(r"valid auc=([\d.]+) loss=([\d.]+)", out.stdout)
     if vals:

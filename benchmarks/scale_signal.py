@@ -30,7 +30,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import parity_signal
-from parity_auc import _literal
+from parity_auc import _literal, run_graceful
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WS = "/tmp/scale_signal_ws"
@@ -50,8 +50,10 @@ def run_ours(model, seed, epoch, timeout):
             "--candidate_mask_num", "5",
             "--regroup_update_step", "5", "--regroup_eval_step", "5"]
     t0 = time.time()
-    out = subprocess.run(argv, capture_output=True, text=True,
-                         timeout=timeout, cwd=REPO)
+    # run_graceful: a timeout SIGTERMs the TPU child (HBM freed by the
+    # device_cleanup handler) instead of subprocess.run's SIGKILL, which
+    # blocks the next single-tenant claim for 15-20 min (CLAUDE.md)
+    out = run_graceful(argv, timeout, cwd=REPO)
     wall = time.time() - t0
     if out.returncode != 0:
         print(f"[{model}/{seed} FAILED rc={out.returncode}]\n"
