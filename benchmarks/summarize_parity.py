@@ -42,8 +42,11 @@ def fmt(side):
         return "--"
     s = f"{side['mean']:.4f}±{side['sd']:.4f} (n={side['n']}"
     if side["collapsed"]:
-        s += (f", {side['collapsed']} collapsed; successful-mode "
-              f"{side['ok_mean']:.4f}±{side['ok_sd']:.4f}")
+        if side.get("ok_mean") is not None:
+            s += (f", {side['collapsed']} collapsed; successful-mode "
+                  f"{side['ok_mean']:.4f}±{side['ok_sd']:.4f}")
+        else:
+            s += f", all {side['collapsed']} collapsed"
     s += ")"
     return s
 
@@ -63,6 +66,14 @@ def main():
         ref = _stats([r.get("ref_auc") for r in mr])
         tpu = _stats([r.get("tpu_auc") for r in mr])
         print(f"{m:10s} {fmt(ref):42s} {fmt(tpu):42s}")
+    # headline denominators (ADVICE r3: recompute from the JSON, don't
+    # hand-count): total runs and collapse counts per side over ALL rows
+    refs = [r["ref_auc"] for r in rows if r.get("ref_auc") is not None]
+    tpus = [r["tpu_auc"] for r in rows if r.get("tpu_auc") is not None]
+    print(f"\ntotals: ref {len(refs)} runs, "
+          f"{sum(v < COLLAPSE for v in refs)} collapsed | "
+          f"tpu {len(tpus)} runs, {sum(v < COLLAPSE for v in tpus)} collapsed"
+          f" (min tpu {min(tpus):.4f})" if tpus else "\ntotals: no tpu runs")
 
 
 if __name__ == "__main__":

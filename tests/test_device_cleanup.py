@@ -60,10 +60,22 @@ def _run_child():
 
 
 def _wait_ready(proc, timeout=120.0):
-    """Read lines until READY (the child holds a live device array)."""
+    """Read lines until READY (the child holds a live device array).
+
+    Uses select() so a child that hangs BEFORE printing anything still
+    fails at the deadline instead of blocking forever in readline()
+    (ADVICE r3)."""
+    import select
+
     t0 = time.time()
     lines = []
-    while time.time() - t0 < timeout:
+    while True:
+        remaining = timeout - (time.time() - t0)
+        if remaining <= 0:
+            break
+        ready, _, _ = select.select([proc.stdout], [], [], remaining)
+        if not ready:
+            break
         line = proc.stdout.readline()
         if not line:
             break
@@ -112,16 +124,32 @@ def test_install_respects_existing_handler():
         signal.signal(signal.SIGTERM, prev)
 
 
+IDEMPOTENT_CHILD = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from aread_tpu.utils.device_cleanup import release_device_arrays
+
+a = jnp.ones((16,))
+_ = float(a.sum())
+n1 = release_device_arrays()
+assert n1 >= 1, n1
+# second call: everything already deleted; must not raise
+release_device_arrays()
+print("IDEMPOTENT OK", flush=True)
+"""
+
+
 def test_release_idempotent():
-    from aread_tpu.utils.device_cleanup import release_device_arrays
-
-    import jax.numpy as jnp
-
-    a = jnp.ones((16,))
-    _ = float(a.sum())
-    assert release_device_arrays() >= 1
-    # second call: everything already deleted; must not raise
-    release_device_arrays()
+    """Runs in a subprocess: release_device_arrays() deletes ALL live jax
+    arrays, which in the shared pytest process would nuke jit-captured
+    constants / fixtures of other test modules (ADVICE r3)."""
+    out = subprocess.run(
+        [sys.executable, "-c", IDEMPOTENT_CHILD], cwd=REPO, text=True,
+        capture_output=True, timeout=120,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr
+    assert "IDEMPOTENT OK" in out.stdout
 
 
 if __name__ == "__main__":
