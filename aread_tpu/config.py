@@ -95,6 +95,10 @@ class Config:
     ple_tower_dims: Tuple[int, ...] = (64, 32)
     sei_dims: Tuple[int, ...] = (64, 32)
     dlm_iters: int = 3
+    # replicate the reference's eval-time DLM center EMA updates
+    # (adl.py:61-77 mutates under no_grad during eval batches); default
+    # keeps eval pure — flag exists to measure the deviation's AUC effect
+    adl_eval_dlm_update: bool = False
     aread_tower_dims: Tuple[Tuple[int, ...], ...] = ((64, 32), (32, 16), (16, 8))
     dropout: float = 0.2
 

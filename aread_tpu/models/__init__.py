@@ -91,6 +91,7 @@ def build_model(config: Config, spec: FeatureSpec, n_domain: int,
     if name == "adl":
         return ADL(spec=spec, embed_dim=e, n_tower=n_tower,
                    tower_dims=config.tower_dims, dlm_iters=config.dlm_iters,
+                   eval_dlm_update=config.adl_eval_dlm_update,
                    dropout=config.dropout, use_dcn=config.use_dcn,
                    use_atten=config.use_atten,
                    n_cross_layers=config.n_cross_layers, **common_att)

@@ -10,7 +10,11 @@ take_along_axis — identical math, no dynamic shapes.
 State: cluster centers live in the ``model_state`` collection and are
 EMA-updated only during training steps (the reference also mutates them
 during eval batches, adl.py:61-77 under no_grad; keeping eval pure is an
-intentional deviation).
+intentional deviation). ``eval_dlm_update=True`` (config
+adl_eval_dlm_update, CLI --adl_eval_dlm_update) opts back into the
+reference's eval-time mutation so the deviation's AUC effect can be
+measured (VERDICT r3 item 3); the trainer then threads the mutated
+centers through its eval loop (train/trainer.py evaluate).
 """
 
 from __future__ import annotations
@@ -39,6 +43,7 @@ class ADL(CTRModel):
     tower_dims: Tuple[int, ...] = (256, 128, 64, 32)
     dlm_iters: int = 3
     dlm_update_rate: float = 0.9
+    eval_dlm_update: bool = False  # replicate reference adl.py:61-77
     dropout: float = 0.2
     use_dcn: bool = True
     use_atten: bool = True
@@ -73,7 +78,7 @@ class ADL(CTRModel):
             sim = flat_ng @ centers.T  # note: reference iterates from the
             coeff = nn.softmax(sim, axis=1)  # ORIGINAL centers each iter (adl.py:69)
             tmp_centers = _l2_normalize(coeff.T @ flat_ng, axis=1)
-        if train and not self.is_initializing():
+        if (train or self.eval_dlm_update) and not self.is_initializing():
             centers_var.value = _l2_normalize(
                 self.dlm_update_rate * centers + (1 - self.dlm_update_rate) * tmp_centers, axis=1)
         route = jnp.argmax(coeff, axis=1)  # [B]

@@ -140,7 +140,12 @@ class MamdrTrainer(Trainer):
             history.append(result)
             logger.log({"valid": result}, step=epoch_i + 1)
             if verbose:
-                print(f"epoch {epoch_i + 1}: auc={result['total_auc']:.4f} "
+                # same line shape as Trainer.fit so every harness
+                # (parity_auc/parity_signal/scale_signal regexes) parses
+                # MAMDR runs identically
+                print(f"epoch {epoch_i + 1}: train_loss=nan "
+                      f"valid auc={result['total_auc']:.4f} "
+                      f"loss={result['total_loss']:.4f} "
                       f"mean_auc={result.get('mean_auc', np.nan):.4f}")
             if not self.is_continuable(self.meta_weights, state, opt_state,
                                        result, epoch_i):
@@ -172,7 +177,7 @@ class MamdrTrainer(Trainer):
                 prev_d = d
             batch_np = batcher.next_batch(d)
             batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-            prob = np.asarray(self._eval_step(merged, state, batch))
+            prob = np.asarray(self._eval_step(merged, state, batch)[0])
             n = int(batch_np["valid"].sum())
             preds.append(prob[:n])
             targets.append(batch_np["y"][:n])

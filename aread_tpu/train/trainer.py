@@ -657,6 +657,11 @@ class Trainer:
     def _build_eval_step(self):
         model = self.model
         is_multi_tower = self.is_multi_tower
+        # ADL opt-in (--adl_eval_dlm_update): the reference mutates DLM
+        # cluster centers during eval batches too (adl.py:61-77); the
+        # mutable step threads model_state through the eval loop so the
+        # deviation's AUC effect is measurable (VERDICT r3 item 3)
+        eval_mutates = getattr(model, "eval_dlm_update", False)
 
         @jax.jit
         def eval_step(params, state, batch):
@@ -664,11 +669,17 @@ class Trainer:
             kwargs: Dict[str, Any] = {"train": False}
             if "group" in batch:
                 kwargs["group"] = batch["group"]
-            out = model.apply(variables, batch["x"], **kwargs)
+            if eval_mutates:
+                out, new_state = model.apply(variables, batch["x"],
+                                             mutable=list(state.keys()),
+                                             **kwargs)
+            else:
+                out = model.apply(variables, batch["x"], **kwargs)
+                new_state = state
             prob = out["prob"]
             if is_multi_tower and prob.ndim == 2:
                 prob = gather_group(prob, batch["group"])
-            return prob
+            return prob, dict(new_state)
 
         return eval_step
 
@@ -827,14 +838,23 @@ class Trainer:
                 auc_state = self._eval_accum_step(params, state, jb, auc_state)
             return acc.finalize(auc_state, domain_cnt_weight,
                                 multi_domain=self.config.is_evaluate_multi_domain)
+        eval_mutates = getattr(self.model, "eval_dlm_update", False)
+        self.eval_mutated_state = None
         preds, targets, domains = [], [], []
         for batch in batcher:
             jb = self._place(batch)
-            prob = np.asarray(self._eval_step(params, state, jb))
+            prob, new_state = self._eval_step(params, state, jb)
+            prob = np.asarray(prob)
+            if eval_mutates:
+                state = new_state  # thread DLM centers batch-to-batch
             n = int(batch["valid"].sum())
             preds.append(prob[:n])
             targets.append(batch["y"][:n])
             domains.append(batch["domain"][:n])
+        if eval_mutates:
+            # surface the mutated centers so fit() carries them into the
+            # next epoch, matching the reference's persistent mutation
+            self.eval_mutated_state = state
         preds = np.concatenate(preds)
         targets = np.concatenate(targets)
         domains = np.concatenate(domains)
@@ -956,6 +976,8 @@ class Trainer:
                 raise_if_nonfinite(train_loss, epoch_i, cfg)
                 result = self.evaluate(params, state, data.valid_x,
                                        data.valid_y, data.domain_cnt_weight)
+                if getattr(self, "eval_mutated_state", None) is not None:
+                    state = self.eval_mutated_state  # --adl_eval_dlm_update
                 result["train_loss"] = train_loss
                 result["epoch_time_s"] = time.time() - t0
                 result["examples_per_s"] = self.step_timer.summary()["examples_per_s"]

@@ -181,6 +181,8 @@ def main():
                   expert_dims=(256, 128, 64),
                   tower_dims=((64, 32), (32, 16), (16, 8)), mmoe_n_expert=4)
 
+    import jax.tree_util as jtu
+
     rng = np.random.default_rng(0)
     cols = [rng.integers(0, d, size=(bs, 1)) for d in spec.one_hot_dims]
     seqs = rng.integers(0, spec.one_hot_dims[0], size=(bs, 10))
@@ -203,116 +205,142 @@ def main():
     variables = jax.jit(
         lambda r, xx: model.init({"params": r, "dropout": r}, xx, mode="wo_mask")
     )(jax.random.PRNGKey(0), x)
-    params, state = split_variables(variables)
+    params0, state0 = split_variables(variables)
     optimizer = make_optimizer(1e-3)
-    # AREAD_TPU_BENCH_MOMENTS=bfloat16: measure config.table_moments_dtype
-    # ='bfloat16' (bf16 moment storage, f32 compute)
-    moments_dtype = os.environ.get("AREAD_TPU_BENCH_MOMENTS") or None
-    _phase("optimizer init (Adam moments for the 1.5M-row table)")
-    opt_state = hybrid_init(optimizer, params, moments_dtype=moments_dtype)
     # table L2 GRADIENT folds into the fused Adam kernel; its VALUE (the
     # reference's printed-loss term, run.py:505) accumulates inside the
     # sparse-Adam kernel sweep for free (want_table_l2 below)
     reg_rules = strip_table_rule(type(model).REG_RULES)
-
-    # The whole measurement loop runs ON DEVICE as one lax.scan: a python
-    # step loop pays a host->tunnel dispatch per step (~8-30 ms on this
-    # image's tunneled TPU, dwarfing the ~5 ms device step), which is both
-    # dishonest benchmarking and not how the trainers run (they scan too —
-    # train/trainer.py, train/hemp.py).
-    # AREAD_TPU_BENCH_LAZY=1: measure config.table_optimizer='lazy_adam'
-    # (torch SparseAdam semantics, O(batch) optimizer traffic) instead of
-    # the default exact dense-Adam semantics. The headline metric stays the
-    # exact mode — it is the apples-to-apples number vs the reference.
-    lazy = bool(int(os.environ.get("AREAD_TPU_BENCH_LAZY", "0")))
     # host-checked no-cond fast dispatch, exactly as the trainers do it
-    fits = not lazy and batch_fits_kernel(spec, embed_dim, np.asarray(x))
-
-    def one_step(carry, rng):
-        # sparse-table-grad step, exactly what the trainers run
-        # (train/trainer.py step_core, train/hemp.py): grads w.r.t. the
-        # gathered rows via the perturb tap + 2-phase sparse Adam — the
-        # dense [1.52M, 32] table cotangent never exists
-        params, state, opt_state = carry
-        table, rest = split_table(params)
-
-        def loss_fn(rest_p, pert):
-            out, new_state = model.apply(
-                {"params": merge_table(rest_p, table), "perturbations": pert,
-                 **state}, x, domain_mask=dm,
-                mode="domain_mask_bagging", train=True, mask=valid,
-                mutable=list(state.keys()), rngs={"dropout": rng})
-            per_leaf = jax.vmap(
-                lambda lg: masked_mean(bce_with_logits(lg, y), valid),
-                in_axes=1)(out["leaf_logit"])
-            la = out["leaf_active"].astype(per_leaf.dtype)
-            bce = jnp.sum(per_leaf * la) / jnp.maximum(la.sum(), 1e-8)
-            return (bce + regularization_loss(rest_p, reg_rules),
-                    new_state)
-
-        pert0 = perturbation_zeros(spec, x, embed_dim)
-        (loss, new_state), (g_rest, g_pert) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(rest, pert0)
-        ids = embedding_flat_ids(spec, x)
-        # reported loss includes the table L2 value, accumulated for free
-        # inside the kernel's table sweep (skipped in lazy mode, whose
-        # point is O(batch) traffic — lazy deviates from the reference
-        # anyway and users pair it with --loss_report_table_l2 0)
-        out = hybrid_update_sparse(
-            optimizer, 1e-3, 1e-8, params, g_rest, ids,
-            g_pert["embedding"]["rows"], opt_state,
-            table_shape=(int(np.sum(spec.one_hot_dims)), embed_dim),
-            lazy=lazy, assume_no_overflow=fits, want_table_l2=not lazy)
-        if lazy:
-            new_params, new_opt_state = out
-        else:
-            new_params, new_opt_state, l2val = out
-            loss = loss + l2val
-        return (new_params, dict(new_state), new_opt_state), loss
-
+    fits_exact = batch_fits_kernel(spec, embed_dim, np.asarray(x))
     n_steps = 50
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def run_steps(params, state, opt_state, keys):
-        (params, state, opt_state), losses = jax.lax.scan(
-            one_step, (params, state, opt_state), keys)
-        return params, state, opt_state, losses[-1]
+    def make_one_step(moments_dtype, lazy):
+        fits = (not lazy) and fits_exact
 
-    # warmup / compile. NOTE: a host transfer (float(loss)) is the sync
-    # point — on this image's tunneled TPU backend, block_until_ready
-    # returns before device execution finishes.
-    _phase("compile 50-step scan (remote compile; cold terminal ~60-120s)")
-    keys = jax.random.split(jax.random.PRNGKey(1), n_steps)
-    params, state, opt_state, loss = run_steps(params, state, opt_state, keys)
-    _ = float(loss)
+        def one_step(carry, rng):
+            # sparse-table-grad step, exactly what the trainers run
+            # (train/trainer.py step_core, train/hemp.py): grads w.r.t.
+            # the gathered rows via the perturb tap + 2-phase sparse Adam —
+            # the dense [1.52M, 32] table cotangent never exists
+            params, state, opt_state = carry
+            table, rest = split_table(params)
 
-    _phase("measure")
-    keys = jax.random.split(jax.random.PRNGKey(2), n_steps)
-    t0 = time.perf_counter()
-    params, state, opt_state, loss = run_steps(params, state, opt_state, keys)
-    _ = float(loss)  # loss depends on the full 50-step chain
-    dt = time.perf_counter() - t0
-    eps = bs * n_steps / dt
+            def loss_fn(rest_p, pert):
+                out, new_state = model.apply(
+                    {"params": merge_table(rest_p, table),
+                     "perturbations": pert, **state}, x, domain_mask=dm,
+                    mode="domain_mask_bagging", train=True, mask=valid,
+                    mutable=list(state.keys()), rngs={"dropout": rng})
+                per_leaf = jax.vmap(
+                    lambda lg: masked_mean(bce_with_logits(lg, y), valid),
+                    in_axes=1)(out["leaf_logit"])
+                la = out["leaf_active"].astype(per_leaf.dtype)
+                bce = jnp.sum(per_leaf * la) / jnp.maximum(la.sum(), 1e-8)
+                return (bce + regularization_loss(rest_p, reg_rules),
+                        new_state)
+
+            pert0 = perturbation_zeros(spec, x, embed_dim)
+            (loss, new_state), (g_rest, g_pert) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(rest, pert0)
+            ids = embedding_flat_ids(spec, x)
+            # reported loss includes the table L2 value, accumulated for
+            # free inside the kernel's table sweep (skipped in lazy mode,
+            # whose point is O(batch) traffic — lazy deviates from the
+            # reference anyway; users pair it with --loss_report_table_l2 0)
+            out = hybrid_update_sparse(
+                optimizer, 1e-3, 1e-8, params, g_rest, ids,
+                g_pert["embedding"]["rows"], opt_state,
+                table_shape=(int(np.sum(spec.one_hot_dims)), embed_dim),
+                lazy=lazy, assume_no_overflow=fits, want_table_l2=not lazy)
+            if lazy:
+                new_params, new_opt_state = out
+            else:
+                new_params, new_opt_state, l2val = out
+                loss = loss + l2val
+            return (new_params, dict(new_state), new_opt_state), loss
+
+        return one_step
+
+    def measure_variant(tag, moments_dtype, lazy):
+        """Compile + time the 50-step scan for one optimizer variant.
+        Fresh copies of the pristine params/state each time (the scan
+        donates its carry); the model forward is identical across
+        variants — only the table-optimizer path differs."""
+        _phase(f"[{tag}] optimizer init (Adam moments, 1.5M-row table)")
+        params = jtu.tree_map(jnp.array, params0)
+        state = jtu.tree_map(jnp.array, state0)
+        opt_state = hybrid_init(optimizer, params,
+                                moments_dtype=moments_dtype)
+        one_step = make_one_step(moments_dtype, lazy)
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def run_steps(params, state, opt_state, keys):
+            (params, state, opt_state), losses = jax.lax.scan(
+                one_step, (params, state, opt_state), keys)
+            return params, state, opt_state, losses[-1]
+
+        # warmup / compile. NOTE: a host transfer (float(loss)) is the
+        # sync point — on this image's tunneled TPU backend,
+        # block_until_ready returns before device execution finishes.
+        _phase(f"[{tag}] compile 50-step scan (remote compile; cold "
+               "terminal ~60-120s)")
+        keys = jax.random.split(jax.random.PRNGKey(1), n_steps)
+        params, state, opt_state, loss = run_steps(params, state,
+                                                   opt_state, keys)
+        _ = float(loss)
+        _phase(f"[{tag}] measure")
+        keys = jax.random.split(jax.random.PRNGKey(2), n_steps)
+        t0 = time.perf_counter()
+        params, state, opt_state, loss = run_steps(params, state,
+                                                   opt_state, keys)
+        _ = float(loss)  # loss depends on the full 50-step chain
+        dt = time.perf_counter() - t0
+        step_s = dt / n_steps
+        rec = {"examples_per_sec": round(bs * n_steps / dt, 1),
+               "step_ms": round(step_s * 1e3, 3)}
+        if not lazy:
+            # Roofline context: the exact-mode step is dominated by the
+            # sparse-Adam full table sweep — r+w table (f32) and r+w both
+            # Adam moments (f32 or bf16). hbm_bw_util = sweep bytes /
+            # step time / v5e peak HBM bandwidth (819 GB/s), making
+            # BASELINE.md's bandwidth-wall claim checkable from the record.
+            elt = int(np.sum(spec.one_hot_dims)) * embed_dim
+            mom_bytes = 2 if moments_dtype == "bfloat16" else 4
+            sweep_bytes = 2 * elt * 4 + 4 * elt * mom_bytes
+            rec.update(sweep_bytes_per_step=sweep_bytes,
+                       hbm_bw_util=round(sweep_bytes / step_s / 819e9, 3))
+        # free this variant's moments before the next variant compiles
+        del params, state, opt_state
+        return rec
+
+    # Variant selection (VERDICT r3 item 6: driver-capture >=2 optimizer
+    # variants per round). Legacy single-variant env toggles still work:
+    # AREAD_TPU_BENCH_MOMENTS=bfloat16 / AREAD_TPU_BENCH_LAZY=1 measure
+    # only that variant (old behavior); default measures exact AND bf16m;
+    # AREAD_TPU_BENCH_ALL=1 adds lazy.
+    legacy_lazy = bool(int(os.environ.get("AREAD_TPU_BENCH_LAZY", "0")))
+    legacy_moments = os.environ.get("AREAD_TPU_BENCH_MOMENTS") or None
+    if legacy_lazy or legacy_moments:
+        plan = [("primary", legacy_moments, legacy_lazy)]
+    else:
+        plan = [("exact", None, False), ("bf16m", "bfloat16", False)]
+        if int(os.environ.get("AREAD_TPU_BENCH_ALL", "0")):
+            plan.append(("lazy", None, True))
+
+    variants = {}
+    for tag, md, lz in plan:
+        variants[tag] = measure_variant(tag, md, lz)
 
     _DONE.set()
+    headline = os.environ.get("AREAD_TPU_BENCH_HEADLINE", plan[0][0])
+    head = variants.get(headline) or variants[plan[0][0]]
+    eps = head["examples_per_sec"]
     vs = eps / BASELINE_EXAMPLES_PER_SEC if BASELINE_EXAMPLES_PER_SEC else None
-    # Roofline context (VERDICT r2 item 6): the exact-mode step is dominated
-    # by the sparse-Adam full table sweep — read+write table (f32) and
-    # read+write both Adam moments (f32 or bf16). hbm_bw_util = those bytes
-    # per step / measured step time / v5e peak HBM bandwidth (819 GB/s),
-    # making BASELINE.md's bandwidth-wall claim checkable from this record.
-    step_s = dt / n_steps
-    extra = {"step_ms": round(step_s * 1e3, 3)}
-    if not lazy:
-        n_rows = int(np.sum(spec.one_hot_dims))
-        elt = n_rows * embed_dim
-        mom_bytes = 2 if moments_dtype == "bfloat16" else 4
-        sweep_bytes = 2 * elt * 4 + 4 * elt * mom_bytes
-        hbm_peak = 819e9  # TPU v5e HBM bandwidth, bytes/s
-        extra.update(
-            sweep_bytes_per_step=sweep_bytes,
-            hbm_bw_util=round(sweep_bytes / step_s / hbm_peak, 3))
-    _emit(round(eps, 1), round(vs, 2) if vs else None, **extra)
+    extra = {k: v for k, v in head.items() if k != "examples_per_sec"}
+    if len(variants) > 1:
+        extra["variants"] = variants
+    _emit(eps, round(vs, 2) if vs else None, **extra)
     _phase("done")
 
 

@@ -173,7 +173,38 @@ datapre = DataPreprocessing(args.data_path, dataset_name=args.dataset_name,
                             aug_ratio=args.aug_ratio)
 datapre.main()
 datapre.update_config(args)
-RepairedRun(args).main()
+if args.model == "mamdr":
+    # MAMDR is unreachable as shipped: main.py never constructs MamdrRun
+    # and MamdrRun reads config.mamdr_meta_lr / mamdr_aux_sample_num
+    # defined nowhere (run.py:984,991; SURVEY 2.1). Environment shim only
+    # (same values as our Config defaults): the Reptile training dynamics
+    # (run.py:911-1088) themselves run untouched.
+    from run import MamdrRun
+
+    args.mamdr_meta_lr = 0.1
+    args.mamdr_aux_sample_num = 2
+
+    class RepairedMamdrRun(MamdrRun, RepairedRun):
+        """MamdrRun with RepairedRun's environment shims (pandas dims
+        repair, aug vocab sizing). MamdrRun.test wins the MRO over
+        RepairedRun.test, so repair 4 (atleast_1d around np.concatenate
+        for size-1 per-domain eval batches) is re-applied here."""
+
+        def test(self, seq, model, mode='valid'):
+            orig = np.concatenate
+
+            def cat(arrs, *a, **k):
+                return orig([np.atleast_1d(x) for x in arrs], *a, **k)
+
+            np.concatenate = cat
+            try:
+                return MamdrRun.test(self, seq, model, mode)
+            finally:
+                np.concatenate = orig
+
+    RepairedMamdrRun(args).main()
+else:
+    RepairedRun(args).main()
 '''
 
 

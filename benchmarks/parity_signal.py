@@ -112,11 +112,14 @@ def generate(out_dir: str, n_rows: int, seed: int = 7,
     df_aug.to_csv(os.path.join(out_dir, f"{base}_aug0.1{ext}"), index=False)
 
 
-def _merge_json(row):
-    """Merge one result row into benchmarks/parity_signal.json keyed on
-    (model, seed): partial re-runs (--skip_ours / --skip_reference) update
-    only the fields they measured instead of clobbering the matrix."""
-    path = os.path.join(REPO, "benchmarks", "parity_signal.json")
+def _merge_json(row, tag=""):
+    """Merge one result row into benchmarks/parity_signal[_tag].json keyed
+    on (model, seed): partial re-runs (--skip_ours / --skip_reference)
+    update only the fields they measured instead of clobbering the
+    matrix. ``tag`` routes variant studies (e.g. lr=1e-3 sensitivity) to
+    their own file so they never collide with the headline matrix."""
+    name = f"parity_signal_{tag}.json" if tag else "parity_signal.json"
+    path = os.path.join(REPO, "benchmarks", name)
     rows = []
     if os.path.exists(path):
         with open(path) as f:
@@ -141,6 +144,12 @@ def main():
     ap.add_argument("--timeout", type=int, default=3600)
     ap.add_argument("--skip_reference", action="store_true")
     ap.add_argument("--skip_ours", action="store_true")
+    ap.add_argument("--lr", default="1e-2",
+                    help="shared recipe lr (1e-3 = the reference default, "
+                         "main.py:21, for the sensitivity study)")
+    ap.add_argument("--out_tag", default="",
+                    help="write to parity_signal_<tag>.json instead of the "
+                         "headline matrix file")
     args = ap.parse_args()
 
     parity_auc.WS = WS  # point the shared machinery at our workspace
@@ -153,7 +162,7 @@ def main():
     def common_argv(model, ds, seed, epoch, fast_aread):
         argv = ["--model", model, "--dataset_name", ds, "--seed", str(seed),
                 "--epoch", str(epoch), "--bs", "256", "--embed_dim", "8",
-                "--lr", "1e-2"]
+                "--lr", args.lr]
         if model == "aread" and fast_aread:
             # ~4 evolutions/epoch at 250 steps/epoch
             argv += ["--warm_up_interval", "4", "--regroup_interval", "16",
@@ -203,7 +212,7 @@ def main():
                 row["tpu_mean_auc"] = ours and ours.get("mean_auc")
             results.append(row)
             print(json.dumps(row), flush=True)
-            _merge_json(row)
+            _merge_json(row, tag=args.out_tag)
 
     groups = collections.defaultdict(list)
     for r in results:

@@ -37,10 +37,10 @@ WS = "/tmp/scale_signal_ws"
 VOCAB_OVERRIDES = {"userid": 50000, "itemid": 100000}
 
 
-def run_ours(model, seed, epoch, timeout):
+def run_ours(model, seed, epoch, timeout, extra=()):
     argv = [sys.executable, os.path.join(REPO, "main.py"),
             "--model", model, "--dataset_name", "aliccp",
-            "--seed", str(seed), "--epoch", str(epoch),
+            "--seed", str(seed), "--epoch", str(epoch), *extra,
             "--bs", "1024", "--embed_dim", "8", "--lr", "1e-2",
             "--data_path", os.path.join(WS, "data"),
             "--save_path", os.path.join(WS, "save_tpu"),
@@ -79,7 +79,15 @@ def main():
     ap.add_argument("--models", default="aread,aread_womask")
     ap.add_argument("--seeds", default="2000")
     ap.add_argument("--timeout", type=int, default=5400)
+    ap.add_argument("--extra", default="",
+                    help="extra main.py args, e.g. "
+                         "'--table_optimizer lazy_adam' or "
+                         "'--table_moments_dtype bfloat16' (optimizer-"
+                         "variant AUC-at-scale evidence, VERDICT r3 item 4b)")
+    ap.add_argument("--tag", default="",
+                    help="write to scale_signal_<tag>.json and label rows")
     args = ap.parse_args()
+    extra = args.extra.split() if args.extra else []
 
     data_dir = os.path.join(WS, "data", "aliccp")
     csv = os.path.join(data_dir, parity_signal.CSV_NAME)
@@ -92,14 +100,16 @@ def main():
     results = []
     for model in args.models.split(","):
         for seed in [int(s) for s in args.seeds.split(",")]:
-            res = run_ours(model, seed, args.epoch, args.timeout)
+            res = run_ours(model, seed, args.epoch, args.timeout, extra)
             row = {"model": model, "seed": seed, "rows": args.rows,
+                   **({"variant": args.tag} if args.tag else {}),
                    **(res or {"failed": True})}
             results.append(row)
             print(json.dumps(row), flush=True)
 
-    with open(os.path.join(REPO, "benchmarks", "scale_signal.json"),
-              "w") as f:
+    name = (f"scale_signal_{args.tag}.json" if args.tag
+            else "scale_signal.json")
+    with open(os.path.join(REPO, "benchmarks", name), "w") as f:
         json.dump(results, f, indent=1)
 
     # self-consistency verdicts

@@ -104,6 +104,10 @@ def load_config() -> Config:
     parser.add_argument("--use_atten", type=int, default=1,
                         help="side AutoInt attention tower "
                              "(reference config.py:28)")
+    parser.add_argument("--adl_eval_dlm_update", action="store_true",
+                        help="ADL: replicate the reference's eval-time DLM "
+                             "center EMA updates (adl.py:61-77); default "
+                             "keeps eval pure (documented deviation)")
     parser.add_argument("--device_data", default="auto",
                         choices=("auto", "1", "0"),
                         help="device-resident train split: one on-device "

@@ -96,6 +96,39 @@ def test_adl_updates_cluster_state(synthetic_data):
     np.testing.assert_allclose(np.linalg.norm(after, axis=1), 1.0, rtol=1e-5)
 
 
+def test_adl_eval_dlm_update_flag(synthetic_data):
+    """--adl_eval_dlm_update replicates the reference's eval-time DLM
+    center mutation (adl.py:61-77): centers must change across an eval
+    pass and the trainer must surface the mutated state; the default
+    (pure eval) must leave them bit-identical."""
+    from aread_tpu.models import ADL
+
+    data = synthetic_data
+    d2g = np.array([0, 1, 2, 0])
+    for flag in (False, True):
+        model = ADL(spec=data.spec, embed_dim=8, n_tower=3,
+                    tower_dims=(16, 8), att_layer_num=1, atten_embed_dim=8,
+                    eval_dlm_update=flag)
+        cfg = Config(model="adl", bs=128, embed_dim=8,
+                     adl_eval_dlm_update=flag)
+        trainer = Trainer(model, cfg, data.n_domain, domain2group=d2g)
+        batcher = GlobalBatcher(data.train_x[:256], data.train_y[:256], 128,
+                                data.spec.domain_idx, d2g)
+        params, state, opt = trainer.init(jax.random.PRNGKey(0),
+                                          next(iter(batcher)))
+        before = np.asarray(state["model_state"]["cluster_centers"])
+        trainer.evaluate(params, state, data.valid_x[:256],
+                         data.valid_y[:256], data.domain_cnt_weight)
+        mutated = trainer.eval_mutated_state
+        if flag:
+            after = np.asarray(mutated["model_state"]["cluster_centers"])
+            assert not np.allclose(before, after)
+            np.testing.assert_allclose(np.linalg.norm(after, axis=1), 1.0,
+                                       rtol=1e-5)
+        else:
+            assert mutated is None
+
+
 def test_star_weight_product_effect(synthetic_data):
     """Zeroing the shared kernel must zero every domain tower's pre-BN
     output (weight product, star.py:82-94)."""
