@@ -106,6 +106,28 @@ def main():
             if os.environ.get("AREAD_TPU_BENCH_EPOCH_SKIP_HOST"):
                 break
 
+        # ------------ eval-path throughput (VERDICT r3 item 5): the
+        # reference's eval half of the epoch loop (run.py:712-763) at the
+        # same 17.9M-row scale, through BOTH our eval modes — the
+        # device-resident streaming-histogram AUC (only [n_domain, bins]
+        # histograms cross the tunnel) and the host-fetch sklearn-exact
+        # path. End-to-end wall: includes host->device batch transfers
+        # and the final AUC computation.
+        if not os.environ.get("AREAD_TPU_BENCH_EPOCH_SKIP_EVAL"):
+            dcw = np.full(n_domain, 1.0 / n_domain)
+            for label, streaming in (("mmoe_eval_streaming_exs", True),
+                                     ("mmoe_eval_host_exs", False)):
+                cfg.streaming_eval = streaming
+                trainer._eval_step = trainer._eval_accum_step = None
+                for phase in ("compile", "measure"):
+                    t0 = time.perf_counter()
+                    res = trainer.evaluate(params, state, x, y, dcw)
+                    dt = time.perf_counter() - t0
+                    eps = AMAZON_N / dt
+                    print(f"{label} [{phase}]: {dt:.1f}s  {eps:,.0f} ex/s  "
+                          f"auc={res['total_auc']:.4f}", flush=True)
+                results[label] = round(eps, 1)
+
         del x, y, batcher
         trainer._device_data = None
     if os.environ.get("AREAD_TPU_BENCH_EPOCH_SKIP_AREAD"):

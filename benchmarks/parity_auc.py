@@ -305,10 +305,15 @@ def parse_ref(stdout):
     return out or None
 
 
+OURS_EXTRA: list = []  # extra main.py args for the aread_tpu side only
+# (the reference argparse rejects unknown flags, so these cannot ride
+# common_argv; parity_signal --ours_extra sets this)
+
+
 def run_ours(model, ds, seed, epoch, timeout):
     argv = common_argv(model, ds, seed, epoch, True) + \
         ["--data_path", os.path.join(WS, "data"),
-         "--save_path", os.path.join(WS, "save_tpu")]
+         "--save_path", os.path.join(WS, "save_tpu")] + list(OURS_EXTRA)
     if model in ("mmoe", "ple", "pepnet", "epnet", "epnet-single",
                  "hinet", "adl", "adasparse"):
         argv += ["--use_dcn", "0"]  # match the reference's only runnable cfg

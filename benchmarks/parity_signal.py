@@ -150,7 +150,13 @@ def main():
     ap.add_argument("--out_tag", default="",
                     help="write to parity_signal_<tag>.json instead of the "
                          "headline matrix file")
+    ap.add_argument("--ours_extra", default="",
+                    help="extra main.py args for the aread_tpu side only, "
+                         "e.g. '--adl_eval_dlm_update' (the reference "
+                         "argparse rejects unknown flags)")
     args = ap.parse_args()
+    if args.ours_extra:
+        parity_auc.OURS_EXTRA = args.ours_extra.split()
 
     parity_auc.WS = WS  # point the shared machinery at our workspace
 
