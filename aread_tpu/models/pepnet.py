@@ -56,7 +56,12 @@ class PPNetBlock(nn.Module):
             kernel = self.param(f"kernel_{idx}", linear_kernel_init, (dims[idx], dims[idx + 1]))
             bias = self.param(f"bias_{idx}", linear_bias_init_for(dims[idx]), (dims[idx + 1],))
             h = jnp.einsum("btd,df->btf", gated, kernel) + bias
-            h = BatchNorm(name=f"bn_{idx}")(h, train=train, mask=mask)
+            # tied_affine: the reference shares the BN module (and thus
+            # gamma/beta) across towers too (pepnet.py:163); batch stats
+            # stay per-tower (documented deviation: the reference's single
+            # running-stats buffer is sequentially overwritten per tower)
+            h = BatchNorm(name=f"bn_{idx}", tied_affine=True)(h, train=train,
+                                                              mask=mask)
             h = nn.relu(h)
             x = Dropout(self.dropout, name=f"drop_{idx}")(h, train=train)
         return x  # [B, T, tower_dims[-1]]

@@ -79,6 +79,7 @@ class BatchNorm(nn.Module):
 
     momentum: float = 0.1
     eps: float = 1e-5
+    tied_affine: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool, mask=None, scale_mod=None, bias_mod=None,
@@ -87,10 +88,19 @@ class BatchNorm(nn.Module):
         stats shape; where 0, running statistics are NOT updated this step
         (used by masked-HEI so pruned towers' BN stats stay frozen, matching
         the reference which never executes inactive towers,
-        aread.py:267-321)."""
+        aread.py:267-321).
+
+        ``tied_affine``: on [B, T, D] inputs keep ONE [D] scale/bias shared
+        across the T towers (batch statistics stay per-tower). Matches the
+        reference PPNet's tower-tied BatchNorm module
+        (pepnet.py:163 ``[one_tower_layer] * n_tower`` shares gamma/beta —
+        per-tower copies would both triple the reg-loss value and give the
+        affine params per-tower instead of summed gradients)."""
         stat_shape = x.shape[1:]
-        scale = self.param("scale", nn.initializers.ones, stat_shape)
-        bias = self.param("bias", nn.initializers.zeros, stat_shape)
+        aff_shape = (x.shape[-1:] if self.tied_affine and x.ndim == 3
+                     else stat_shape)
+        scale = self.param("scale", nn.initializers.ones, aff_shape)
+        bias = self.param("bias", nn.initializers.zeros, aff_shape)
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(stat_shape))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(stat_shape))
 

@@ -206,7 +206,67 @@ def build_mmoe(dims, embed_dim, n_tower, dropout, use_atten, cfg_ours):
     return tm, jm, params, stats
 
 
-BUILDERS = {"mmoe": build_mmoe}
+def build_pepnet(dims, embed_dim, n_tower, dropout, use_atten, cfg_ours):
+    """PEPNet (use_ppnet) weight copy, per tests/test_torch_parity_models2.
+    The reference TIES the PPNet dense layer AND its BatchNorm across
+    towers (``[one_tower_layer] * n_tower``, pepnet.py:163); our BN affine
+    is per-tower, so the torch values are tiled — the one structural
+    difference whose training-dynamics effect this probe measures."""
+    from types import SimpleNamespace
+
+    from model.pepnet import PEPNet as TorchPEPNet
+
+    from aread_tpu.models.pepnet import PEPNet
+
+    mh = {"multi_hot_flag": [False] * len(dims), "seq_maxlen": 5,
+          "itemid_idx": 1, "method": "mean"}
+    tcfg = SimpleNamespace(use_dcn=False, use_atten=use_atten,
+                           atten_embed_dim=64, att_layer_num=3,
+                           att_head_num=2, att_res=True)
+    tower_dims = tuple(cfg_ours.tower_dims)
+    tm = TorchPEPNet(np.array(dims), embed_dim, mh, n_tower=n_tower,
+                     tower_dims=tower_dims, gate_hidden_dim=64,
+                     use_ppnet=True, domain_idx=DOMAIN_IDX, dropout=dropout,
+                     config=tcfg)
+    spec = FeatureSpec(one_hot_dims=tuple(dims), n_seq_fields=0,
+                       itemid_idx=1, domain_idx=DOMAIN_IDX)
+    jm = PEPNet(spec=spec, embed_dim=embed_dim, n_tower=n_tower,
+                tower_dims=tower_dims, gate_hidden_dim=64, use_ppnet=True,
+                dropout=dropout, use_dcn=False, use_atten=use_atten)
+
+    def gate_params(g):
+        return {"fc1": {"kernel": n2j(t2n(g.gate[0].weight).T),
+                        "bias": n2j(t2n(g.gate[0].bias))},
+                "fc2": {"kernel": n2j(t2n(g.gate[2].weight).T),
+                        "bias": n2j(t2n(g.gate[2].bias))}}
+
+    params = {
+        "embedding": {"table": n2j(t2n(tm.embedding.embedding_dict.weight))},
+        "linear": {"kernel": n2j(t2n(tm.linear.fc.weight).T),
+                   "bias": n2j(t2n(tm.linear.fc.bias))},
+        "epnet": gate_params(tm.epnet),
+    }
+    pp, pp_stats = {}, {}
+    for idx in range(len(tower_dims)):
+        shared = tm.ppnet.tower_layers[idx][0]
+        lin, bn = shared[0], shared[1]
+        pp[f"kernel_{idx}"] = n2j(t2n(lin.weight).T)
+        pp[f"bias_{idx}"] = n2j(t2n(lin.bias))
+        pp[f"bn_{idx}"] = {"scale": n2j(t2n(bn.weight)),
+                           "bias": n2j(t2n(bn.bias))}
+        pp_stats[f"bn_{idx}"] = {
+            "mean": n2j(np.tile(t2n(bn.running_mean), (n_tower, 1))),
+            "var": n2j(np.tile(t2n(bn.running_var), (n_tower, 1)))}
+        pp[f"gate_{idx}"] = gate_params(tm.ppnet.gate_layers[idx])
+    params["ppnet"] = pp
+    lk = n2j(np.stack([t2n(m.weight).T for m in tm.ppnet_linears]))
+    params["ppnet_linears"] = {"kernel": lk}
+    if use_atten:
+        params["atten"] = copy_atten(tm)
+    return tm, jm, params, {"ppnet": pp_stats}
+
+
+BUILDERS = {"mmoe": build_mmoe, "pepnet": build_pepnet}
 
 
 def grad_check(tm, jm, params, stats, bx, by, grp, reg_rules):
@@ -400,6 +460,7 @@ def main():
                            args.bs, args.lr)
         return
     if args.grad_check:
+        assert args.model == "mmoe", "grad_check packs mmoe blocks only"
         from aread_tpu.train.trainer import strip_table_rule
         bx, by, grp = batches[0]
         grad_check(tm, jm, params, stats, bx, by, grp,

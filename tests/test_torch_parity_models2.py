@@ -289,11 +289,12 @@ def test_pepnet_forward_parity():
         lin, bn = shared[0], shared[1]
         pp[f"kernel_{idx}"] = n2j(t2n(lin.weight).T)
         pp[f"bias_{idx}"] = n2j(t2n(lin.bias))
-        # our PPNet keeps per-tower BN stats [T, D]; the reference shares
-        # one BN module across towers — replicate its stats per tower
+        # tied_affine: one [D] gamma/beta shared across towers, exactly
+        # the reference's shared BN module; only the running STATS are
+        # kept per tower ([T, D], documented deviation) so they tile
         pp[f"bn_{idx}"] = {
-            "scale": n2j(np.tile(t2n(bn.weight), (n_tower, 1))),
-            "bias": n2j(np.tile(t2n(bn.bias), (n_tower, 1)))}
+            "scale": n2j(t2n(bn.weight)),
+            "bias": n2j(t2n(bn.bias))}
         pp_stats[f"bn_{idx}"] = {
             "mean": n2j(np.tile(t2n(bn.running_mean), (n_tower, 1))),
             "var": n2j(np.tile(t2n(bn.running_var), (n_tower, 1)))}
