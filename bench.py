@@ -215,10 +215,11 @@ def main():
     fits_exact = batch_fits_kernel(spec, embed_dim, np.asarray(x))
     n_steps = 50
 
-    def make_one_step(moments_dtype, lazy):
+    def make_one_step(moments_dtype, lazy, compute="float32"):
+        from aread_tpu.train.trainer import matmul_precision_ctx
         fits = (not lazy) and fits_exact
 
-        def one_step(carry, rng):
+        def one_step_body(carry, rng):
             # sparse-table-grad step, exactly what the trainers run
             # (train/trainer.py step_core, train/hemp.py): grads w.r.t.
             # the gathered rows via the perturb tap + 2-phase sparse Adam —
@@ -260,9 +261,16 @@ def main():
                 loss = loss + l2val
             return (new_params, dict(new_state), new_opt_state), loss
 
+        def one_step(carry, rng):
+            # config.compute_dtype='bfloat16' equivalent: fp32 matmuls
+            # traced as single-pass bf16 MXU ops (trainer step_core wraps
+            # its body the same way, train/trainer.py)
+            with matmul_precision_ctx(compute):
+                return one_step_body(carry, rng)
+
         return one_step
 
-    def measure_variant(tag, moments_dtype, lazy):
+    def measure_variant(tag, moments_dtype, lazy, compute="float32"):
         """Compile + time the 50-step scan for one optimizer variant.
         Fresh copies of the pristine params/state each time (the scan
         donates its carry); the model forward is identical across
@@ -272,7 +280,7 @@ def main():
         state = jtu.tree_map(jnp.array, state0)
         opt_state = hybrid_init(optimizer, params,
                                 moments_dtype=moments_dtype)
-        one_step = make_one_step(moments_dtype, lazy)
+        one_step = make_one_step(moments_dtype, lazy, compute)
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def run_steps(params, state, opt_state, keys):
@@ -322,15 +330,20 @@ def main():
     legacy_lazy = bool(int(os.environ.get("AREAD_TPU_BENCH_LAZY", "0")))
     legacy_moments = os.environ.get("AREAD_TPU_BENCH_MOMENTS") or None
     if legacy_lazy or legacy_moments:
-        plan = [("primary", legacy_moments, legacy_lazy)]
+        plan = [("primary", legacy_moments, legacy_lazy, "float32")]
     else:
-        plan = [("exact", None, False), ("bf16m", "bfloat16", False)]
+        plan = [("exact", None, False, "float32"),
+                ("bf16m", "bfloat16", False, "float32")]
         if int(os.environ.get("AREAD_TPU_BENCH_ALL", "0")):
-            plan.append(("lazy", None, True))
+            # bf16cm = bf16 moments + single-pass bf16 MXU matmuls
+            # (config.compute_dtype='bfloat16'); lazy = torch SparseAdam
+            # semantics (documented slower: XLA scatter)
+            plan.append(("bf16cm", "bfloat16", False, "bfloat16"))
+            plan.append(("lazy", None, True, "float32"))
 
     variants = {}
-    for tag, md, lz in plan:
-        variants[tag] = measure_variant(tag, md, lz)
+    for tag, md, lz, cp in plan:
+        variants[tag] = measure_variant(tag, md, lz, cp)
 
     _DONE.set()
     headline = os.environ.get("AREAD_TPU_BENCH_HEADLINE", plan[0][0])
