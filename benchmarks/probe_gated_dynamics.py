@@ -495,13 +495,21 @@ def main():
             prob = jnp.take_along_axis(prob, group[:, None], axis=1)[:, 0]
         return prob
 
+    def safe_auc(y, probs):
+        """A collapsed run's loss explosion turns predictions NaN; report
+        0.5 (the chance band) instead of crashing the probe."""
+        probs = np.concatenate(probs)
+        if not np.isfinite(probs).all():
+            return 0.5
+        return roc_auc_score(y, probs)
+
     def auc_ours(params, state):
         probs = []
         for s in range(0, len(vx), 4096):
             xs = jnp.asarray(vx[s:s + 4096].astype(np.int32))
             g = jnp.asarray(d2g[vx[s:s + 4096, DOMAIN_IDX]].astype(np.int32))
             probs.append(np.asarray(eval_ours(params, state, xs, g)))
-        return roc_auc_score(vy, np.concatenate(probs))
+        return safe_auc(vy, probs)
 
     def auc_torch():
         tm.eval()
@@ -512,7 +520,7 @@ def main():
                 g = torch.tensor(d2g[vx[s:s + 4096, DOMAIN_IDX]].astype(np.int64))
                 probs.append(pred.gather(1, g[:, None]).squeeze(1).numpy())
         tm.train()
-        return roc_auc_score(vy, np.concatenate(probs))
+        return safe_auc(vy, probs)
 
     tm.train()
     rng = jax.random.PRNGKey(123 + args.seed)
