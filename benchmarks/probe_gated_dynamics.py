@@ -562,13 +562,6 @@ def main():
                   f"tpu {a_j:.4f}  (max |dloss| so far {max_dloss:.2e}, "
                   f"{time.time()-t0:.0f}s)", flush=True)
 
-    # final drift per top-level block
-    tm_final = {"embedding": t2n(tm.embedding.embedding_dict.weight)}
-    drift = {}
-    for blk in params:
-        ours_leaves = jtu.tree_leaves(params[blk])
-        norm = float(sum(float(jnp.sum(jnp.abs(l))) for l in ours_leaves))
-        drift[blk] = norm
     out = {"model": args.model, "dropout": args.dropout,
            "atten": bool(args.atten), "steps": len(batches),
            "seed": args.seed, "max_dloss": max_dloss, "evals": report}
@@ -577,7 +570,6 @@ def main():
                         f"probe_dynamics_{args.model}_s{args.seed}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    _ = tm_final, drift
 
 
 if __name__ == "__main__":
