@@ -158,7 +158,18 @@ def main():
     if args.ours_extra:
         parity_auc.OURS_EXTRA = args.ours_extra.split()
 
-    parity_auc.WS = WS  # point the shared machinery at our workspace
+    # Per-process workspace: two concurrent parity_signal instances (e.g.
+    # a CPU-side --skip_ours study next to a TPU-side --skip_reference
+    # one) must not clobber each other's driver.py / save/ checkpoints.
+    # The generated dataset stays shared via a symlink.
+    shared_data = os.path.join(WS, "data")
+    run_ws = os.path.join(WS, f"run_{os.getpid()}")
+    os.makedirs(run_ws, exist_ok=True)
+    os.makedirs(shared_data, exist_ok=True)
+    link = os.path.join(run_ws, "data")
+    if not (os.path.islink(link) or os.path.exists(link)):
+        os.symlink(shared_data, link)
+    parity_auc.WS = run_ws  # point the shared machinery at our workspace
 
     # knobs tuned so both sides clear AUC 0.65 within ~12 epochs despite
     # the (reference-faithful) N(0,1) embedding init, whose 23-field FM
@@ -177,10 +188,9 @@ def main():
         return argv
 
     parity_auc.common_argv = common_argv
-    os.makedirs(WS, exist_ok=True)
-    with open(os.path.join(WS, "wandb.py"), "w") as f:
+    with open(os.path.join(run_ws, "wandb.py"), "w") as f:
         f.write(parity_auc.WANDB_STUB)
-    data_dir = os.path.join(WS, "data", "aliccp")
+    data_dir = os.path.join(shared_data, "aliccp")
     if not os.path.exists(os.path.join(data_dir, CSV_NAME)):
         print(f"generating {args.rows}-row planted-signal dataset...",
               file=sys.stderr, flush=True)
