@@ -144,9 +144,13 @@ class Config:
     table_optimizer: str = "adam"
     # storage dtype of the table Adam moments (m, v). 'bfloat16' halves
     # their share of the per-step table sweep (24 -> 16 bytes/element-pass;
-    # compute stays fp32). A documented deviation: moments round to bf16
-    # at every step.
-    table_moments_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # compute stays fp32). DEFAULT since r4: +19% train throughput (369k
+    # vs 310k ex/s, bench.py) with IDENTICAL quality at the 2M-row scale
+    # run (test mean_auc 0.7189 bf16m vs 0.7187 exact,
+    # benchmarks/scale_signal_bf16m.json; defaults decision in
+    # BASELINE.md). 'float32' restores bit-exact torch-Adam moments for
+    # loss-curve-level parity work (e.g. benchmarks/probe_gated_dynamics).
+    table_moments_dtype: str = "bfloat16"  # 'bfloat16' | 'float32'
     # include the stop_gradient table-L2 term in REPORTED losses so they
     # match the reference's printed losses (run.py:505). It never affects
     # gradients (the table L2 gradient folds into the fused Adam). On the

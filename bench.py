@@ -332,8 +332,12 @@ def main():
     if legacy_lazy or legacy_moments:
         plan = [("primary", legacy_moments, legacy_lazy, "float32")]
     else:
-        plan = [("exact", None, False, "float32"),
-                ("bf16m", "bfloat16", False, "float32")]
+        # headline = first entry = the PRODUCTION DEFAULT
+        # (config.table_moments_dtype='bfloat16' since r4 — identical
+        # 2M-row AUC, BASELINE.md defaults decision); exact f32 moments
+        # stay recorded as the bit-exact-torch-Adam variant
+        plan = [("bf16m", "bfloat16", False, "float32"),
+                ("exact", None, False, "float32")]
         if int(os.environ.get("AREAD_TPU_BENCH_ALL", "0")):
             # bf16cm = bf16 moments + single-pass bf16 MXU matmuls
             # (config.compute_dtype='bfloat16'); lazy = torch SparseAdam

@@ -445,6 +445,10 @@ def main():
     cfg = Config(model=args.model, bs=args.bs, lr=args.lr, wd=1e-8,
                  embed_dim=8, dropout=args.dropout, use_dcn=False,
                  use_atten=bool(args.atten), sparse_table_grad=False,
+                 # bit-exact torch-Adam moments: this probe compares loss
+                 # trajectories at 1e-7, so the bf16m production default
+                 # must not apply here
+                 table_moments_dtype="float32",
                  device_data="0", platform="cpu")
     tm, jm, params, stats = BUILDERS[args.model](
         dims, cfg.embed_dim, n_tower, args.dropout, bool(args.atten), cfg)
