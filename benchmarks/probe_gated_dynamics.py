@@ -235,10 +235,14 @@ def build_pepnet(dims, embed_dim, n_tower, dropout, use_atten, cfg_ours):
                 dropout=dropout, use_dcn=False, use_atten=use_atten)
 
     def gate_params(g):
-        return {"fc1": {"kernel": n2j(t2n(g.gate[0].weight).T),
-                        "bias": n2j(t2n(g.gate[0].bias))},
-                "fc2": {"kernel": n2j(t2n(g.gate[2].weight).T),
-                        "bias": n2j(t2n(g.gate[2].bias))}}
+        # GateNN layout shifts with dropout>0 ([Linear, ReLU, Dropout,
+        # Linear, Sigmoid] vs [Linear, ReLU, Linear, Sigmoid]) — pick the
+        # Linears by type, not index
+        lins = [m for m in g.gate if isinstance(m, torch.nn.Linear)]
+        return {"fc1": {"kernel": n2j(t2n(lins[0].weight).T),
+                        "bias": n2j(t2n(lins[0].bias))},
+                "fc2": {"kernel": n2j(t2n(lins[1].weight).T),
+                        "bias": n2j(t2n(lins[1].bias))}}
 
     params = {
         "embedding": {"table": n2j(t2n(tm.embedding.embedding_dict.weight))},
