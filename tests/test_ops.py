@@ -73,6 +73,36 @@ def test_batchnorm_masked_ignores_pad_rows():
     np.testing.assert_allclose(np.asarray(out)[:10], (x_real - mean) / np.sqrt(var + 1e-5), rtol=1e-3)
 
 
+def test_batchnorm_tied_affine():
+    """tied_affine=True on [B, T, D]: ONE [D] gamma/beta shared across the
+    T towers (the reference PPNet's tower-tied BN module, pepnet.py:163)
+    while batch statistics stay per-tower — output must equal the untied
+    BatchNorm whose per-tower affine params are tiles of the shared ones."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((16, 3, 4)), jnp.float32)
+    tied = BatchNorm(tied_affine=True)
+    v_tied = tied.init(jax.random.PRNGKey(0), x, train=True)
+    assert v_tied["params"]["scale"].shape == (4,)
+    # nudge the shared affine off the identity so the tying is observable
+    v_tied["params"]["scale"] = jnp.asarray(rng.standard_normal(4), jnp.float32)
+    v_tied["params"]["bias"] = jnp.asarray(rng.standard_normal(4), jnp.float32)
+    out_tied, st_tied = tied.apply(v_tied, x, train=True,
+                                   mutable=["batch_stats"])
+
+    untied = BatchNorm()
+    v_un = untied.init(jax.random.PRNGKey(0), x, train=True)
+    assert v_un["params"]["scale"].shape == (3, 4)
+    v_un["params"]["scale"] = jnp.tile(v_tied["params"]["scale"], (3, 1))
+    v_un["params"]["bias"] = jnp.tile(v_tied["params"]["bias"], (3, 1))
+    out_un, st_un = untied.apply(v_un, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_tied), np.asarray(out_un),
+                               rtol=1e-5)
+    # running stats remain per-tower in both
+    np.testing.assert_allclose(np.asarray(st_tied["batch_stats"]["mean"]),
+                               np.asarray(st_un["batch_stats"]["mean"]),
+                               rtol=1e-5)
+
+
 def test_batchnorm_single_row_passthrough():
     # reference layer.py:226-227: BN skipped when batch==1
     bn = BatchNorm()
