@@ -142,6 +142,11 @@ class Config:
     # the rows gathered this step update, O(batch) instead of O(table)
     # optimizer traffic; a documented deviation from the reference.
     table_optimizer: str = "adam"
+    # optional global-norm gradient clipping (0 = off, the reference's
+    # behavior). Beyond-reference stability knob: the r4 root-cause study
+    # (PARITY.md) showed the shared lr=1e-2 gated-family recipe blows up
+    # in BOTH frameworks; clipping keeps the high-lr mode trainable.
+    grad_clip_norm: float = 0.0
     # storage dtype of the table Adam moments (m, v). 'bfloat16' halves
     # their share of the per-step table sweep (24 -> 16 bytes/element-pass;
     # compute stays fp32). DEFAULT since r4: +19% train throughput (369k

@@ -172,7 +172,8 @@ class AREADTrainer:
                     mesh=self.mesh,
                     lazy=cfg.table_optimizer == "lazy_adam",
                     assume_no_overflow=no_overflow,
-                    want_table_l2=cfg.loss_report_table_l2)
+                    want_table_l2=cfg.loss_report_table_l2,
+                    clip_norm=cfg.grad_clip_norm)
                 if cfg.loss_report_table_l2:
                     # reported loss includes the table L2 value (reference
                     # run.py:505), accumulated free inside the kernel sweep
@@ -186,7 +187,8 @@ class AREADTrainer:
             if cfg.loss_report_table_l2:
                 loss = loss + table_reg_value(params["embedding"]["table"])
             new_params, new_opt_state = hybrid_update(
-                opt, opt_lr, cfg.wd, params, grads, opt_state)
+                opt, opt_lr, cfg.wd, params, grads, opt_state,
+                clip_norm=cfg.grad_clip_norm)
             return new_params, dict(new_state), new_opt_state, loss, gms
 
         def make_step(opt, opt_lr, mode):

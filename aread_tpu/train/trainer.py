@@ -136,9 +136,22 @@ def hybrid_init(optimizer: optax.GradientTransformation, params: Dict,
     }
 
 
+def clip_scale_by_global_norm(grad_trees, clip_norm: float):
+    """torch.nn.utils.clip_grad_norm_ semantics: returns the scalar factor
+    min(1, clip/||g||) over the concatenation of all leaves of all trees
+    in ``grad_trees`` (identity when clip_norm <= 0)."""
+    if not clip_norm or clip_norm <= 0.0:
+        return None
+    leaves = [l for t in grad_trees for l in jax.tree_util.tree_leaves(t)]
+    sq = sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves)
+    norm = jnp.sqrt(sq)
+    return jnp.minimum(1.0, clip_norm / (norm + 1e-6))
+
+
 def hybrid_update(optimizer: optax.GradientTransformation, lr: float, wd: float,
                   params: Dict, grads: Dict, opt_state: Dict,
-                  table_l2: float = TABLE_L2) -> Tuple[Dict, Dict]:
+                  table_l2: float = TABLE_L2,
+                  clip_norm: float = 0.0) -> Tuple[Dict, Dict]:
     """One optimizer step; returns (new_params, new_opt_state).
 
     The table goes through ``reference_adam_update`` — a single fused jnp
@@ -146,12 +159,21 @@ def hybrid_update(optimizer: optax.GradientTransformation, lr: float, wd: float,
     kernel variant (ops/pallas/fused_adam.py) is opt-in via
     ``AREAD_TPU_PALLAS_ADAM=1``: measured on this image's tunneled v5e it
     is NOT faster than the XLA fusion, and it needs interpret mode on CPU.
+
+    ``clip_norm``: optional global-norm gradient clipping over ALL data
+    gradients (config.grad_clip_norm — a beyond-reference stability knob;
+    the root-cause study showed the shared lr=1e-2 gated-family recipe
+    blows up without it, PARITY.md). The decay/L2 terms folded inside the
+    Adam updates are not clipped (they are O(1e-5 * w)).
     """
     import os as _os
 
     from aread_tpu.ops.pallas.fused_adam import (fused_adam_update,
                                                  reference_adam_update)
 
+    scale = clip_scale_by_global_norm([grads], clip_norm)
+    if scale is not None:
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
     g_table, g_rest = split_table(grads)
     p_table, p_rest = split_table(params)
     t = opt_state["t"] + 1
@@ -332,7 +354,8 @@ def hybrid_update_sparse(optimizer: optax.GradientTransformation, lr: float,
                          table_shape: Tuple[int, int] = None,
                          mesh=None, lazy: bool = False,
                          assume_no_overflow: bool = False,
-                         want_table_l2: bool = False):
+                         want_table_l2: bool = False,
+                         clip_norm: float = 0.0):
     """hybrid_update with the table's data gradient in sparse (ids, rows)
     form: the dense [n_rows, E] cotangent never exists. Bit-identical to
     the dense path (ops/sparse_adam.py). ``g_rest`` excludes the table.
@@ -353,6 +376,16 @@ def hybrid_update_sparse(optimizer: optax.GradientTransformation, lr: float,
     t = opt_state["t"] + 1
     flat_ids = table_ids.reshape(-1)
     flat_rows = row_grads.reshape(-1, row_grads.shape[-1])
+    # global-norm clip over the full data gradient: non-table leaves plus
+    # the gathered-row table grads (duplicate ids' rows sum downstream in
+    # dedup; their norm contribution here matches the dense cotangent's
+    # because disjoint scatter-adds preserve the squared sum... only for
+    # unique ids — for duplicates this slightly OVER-counts the norm, a
+    # conservative (stronger-clip) approximation of torch semantics)
+    scale = clip_scale_by_global_norm([g_rest, flat_rows], clip_norm)
+    if scale is not None:
+        g_rest = jax.tree_util.tree_map(lambda g: g * scale, g_rest)
+        flat_rows = flat_rows * scale
     l2val = None
     if mesh is not None and mesh.shape.get("model", 1) > 1:
         from aread_tpu.parallel.sharded_adam import sharded_sparse_table_adam
@@ -499,6 +532,7 @@ class Trainer:
         reg_rules = strip_table_rule(type(self.model).REG_RULES)
         is_multi_tower = self.is_multi_tower
         lr, wd = self.config.lr, self.config.wd
+        clip = self.config.grad_clip_norm
 
         spec = self.model.spec
         embed_dim = self.model.embed_dim
@@ -559,7 +593,7 @@ class Trainer:
                     mesh=mesh,
                     lazy=self.config.table_optimizer == "lazy_adam",
                     assume_no_overflow=no_overflow,
-                    want_table_l2=report_treg)
+                    want_table_l2=report_treg, clip_norm=clip)
                 if report_treg:
                     # reported loss includes the table L2 value (reference
                     # run.py:505) — the kernel accumulated it for free over
@@ -579,7 +613,7 @@ class Trainer:
 
             (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             new_params, new_opt_state = hybrid_update(
-                optimizer, lr, wd, params, grads, opt_state)
+                optimizer, lr, wd, params, grads, opt_state, clip_norm=clip)
             return new_params, dict(new_state), new_opt_state, loss
 
         return step_core

@@ -106,6 +106,11 @@ def load_config() -> Config:
     parser.add_argument("--use_atten", type=int, default=1,
                         help="side AutoInt attention tower "
                              "(reference config.py:28)")
+    parser.add_argument("--grad_clip_norm", type=float, default=0.0,
+                        help="global-norm gradient clipping (0 = off, the "
+                             "reference's behavior); stabilizes the "
+                             "high-lr recipes whose blow-ups the r4 "
+                             "root-cause study documents (PARITY.md)")
     parser.add_argument("--adl_eval_dlm_update", action="store_true",
                         help="ADL: replicate the reference's eval-time DLM "
                              "center EMA updates (adl.py:61-77); default "

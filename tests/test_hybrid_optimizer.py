@@ -105,3 +105,76 @@ def test_trainer_uses_hybrid_state():
         params, state, opt_state, batcher, jax.random.PRNGKey(1))
     assert np.isfinite(loss)
     assert int(opt_state["t"]) == len(list(iter(batcher)))
+
+
+def test_grad_clip_norm_scales_update():
+    """clip_norm semantics (torch clip_grad_norm_): a clipped hybrid
+    update must equal the unclipped update fed pre-scaled gradients; a
+    clip above the norm must be a no-op. Covers both the dense and the
+    sparse (ids, rows) update paths."""
+    from aread_tpu.train.trainer import (clip_scale_by_global_norm,
+                                         hybrid_update_sparse)
+
+    data = make_synthetic_data(n_rows=256, n_domain=3, vocab=50, seed=1)
+    model = DeepFM(spec=data.spec, embed_dim=8, mlp_dims=(16,), dropout=0.0)
+    x = jnp.asarray(data.train_x[:64])
+    y = jnp.asarray(data.train_y[:64].astype(np.float32))
+    valid = jnp.ones((64,), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(0)}, x, train=False)
+    params, state = split_variables(variables)
+    opt = make_optimizer(1e-2, 1e-8)
+
+    def loss(p):
+        out, _ = model.apply({"params": p, **state}, x, train=True,
+                             mask=valid, mutable=list(state.keys()),
+                             rngs={"dropout": jax.random.PRNGKey(1)})
+        return masked_mean(bce_with_logits(out["logit"], y), valid)
+
+    grads = jax.grad(loss)(params)
+    clip = 0.01  # far below the actual norm so clipping engages
+    scale = clip_scale_by_global_norm([grads], clip)
+    assert float(scale) < 1.0
+    pre_scaled = jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+    os0 = hybrid_init(opt, params)
+    p_clip, _ = hybrid_update(opt, 1e-2, 1e-8, params, grads,
+                              jax.tree_util.tree_map(jnp.array, os0),
+                              clip_norm=clip)
+    p_manual, _ = hybrid_update(opt, 1e-2, 1e-8, params, pre_scaled,
+                                jax.tree_util.tree_map(jnp.array, os0))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-7),
+        p_clip, p_manual)
+    # clip far above the norm: identical to no clipping
+    p_noop, _ = hybrid_update(opt, 1e-2, 1e-8, params, grads,
+                              jax.tree_util.tree_map(jnp.array, os0),
+                              clip_norm=1e6)
+    p_ref, _ = hybrid_update(opt, 1e-2, 1e-8, params, grads,
+                             jax.tree_util.tree_map(jnp.array, os0))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-7),
+        p_noop, p_ref)
+
+    # sparse path: clipped sparse update == unclipped with scaled inputs
+    ids = jnp.arange(64, dtype=jnp.int32).reshape(8, 8)
+    rows = jnp.asarray(
+        np.random.default_rng(0).standard_normal((8, 8, 8)), jnp.float32)
+    from aread_tpu.train.trainer import split_table
+    _, g_rest = split_table(grads)
+    n_rows = int(np.sum(data.spec.one_hot_dims))
+    s2 = clip_scale_by_global_norm([g_rest, rows.reshape(-1, 8)], clip)
+    ps1, _ = hybrid_update_sparse(
+        opt, 1e-2, 1e-8, params, g_rest, ids, rows,
+        jax.tree_util.tree_map(jnp.array, os0),
+        table_shape=(n_rows, 8), clip_norm=clip)
+    ps2, _ = hybrid_update_sparse(
+        opt, 1e-2, 1e-8, params,
+        jax.tree_util.tree_map(lambda g: g * s2, g_rest), ids, rows * s2,
+        jax.tree_util.tree_map(jnp.array, os0), table_shape=(n_rows, 8))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-7),
+        ps1, ps2)
