@@ -213,7 +213,11 @@ def main():
     reg_rules = strip_table_rule(type(model).REG_RULES)
     # host-checked no-cond fast dispatch, exactly as the trainers do it
     fits_exact = batch_fits_kernel(spec, embed_dim, np.asarray(x))
-    n_steps = 50
+    # 200 steps/dispatch + best-of-2: the measurement includes one tunnel
+    # round trip (the loss fetch), and RTT spikes of ~50 ms were observed
+    # to inflate a 50-step window by ~1 ms/step; a 4x longer scan plus
+    # taking the faster of two timed dispatches bounds that distortion
+    n_steps = 200
 
     def make_one_step(moments_dtype, lazy, compute="float32"):
         from aread_tpu.train.trainer import matmul_precision_ctx
@@ -298,12 +302,14 @@ def main():
                                                    opt_state, keys)
         _ = float(loss)
         _phase(f"[{tag}] measure")
-        keys = jax.random.split(jax.random.PRNGKey(2), n_steps)
-        t0 = time.perf_counter()
-        params, state, opt_state, loss = run_steps(params, state,
-                                                   opt_state, keys)
-        _ = float(loss)  # loss depends on the full 50-step chain
-        dt = time.perf_counter() - t0
+        dt = float("inf")
+        for rep in (2, 3):
+            keys = jax.random.split(jax.random.PRNGKey(rep), n_steps)
+            t0 = time.perf_counter()
+            params, state, opt_state, loss = run_steps(params, state,
+                                                       opt_state, keys)
+            _ = float(loss)  # loss depends on the full n_steps chain
+            dt = min(dt, time.perf_counter() - t0)
         step_s = dt / n_steps
         rec = {"examples_per_sec": round(bs * n_steps / dt, 1),
                "step_ms": round(step_s * 1e3, 3)}
