@@ -370,24 +370,38 @@ def hybrid_update_sparse(optimizer: optax.GradientTransformation, lr: float,
     already streams through it), so reporting the reference's full loss
     costs zero extra HBM traffic; other paths pay the same single pass a
     trainer-side table_reg_value would."""
-    from aread_tpu.ops.sparse_adam import sparse_table_adam
+    from aread_tpu.ops.sparse_adam import dedup_rows, sparse_adam_dispatch
 
     p_table, p_rest = split_table(params)
     t = opt_state["t"] + 1
     flat_ids = table_ids.reshape(-1)
     flat_rows = row_grads.reshape(-1, row_grads.shape[-1])
+    n_rows = (table_shape if table_shape is not None else p_table.shape)[0]
+    use_sharded = mesh is not None and mesh.shape.get("model", 1) > 1
+    uids = gsum = None
+    if not use_sharded:
+        # dedup ONCE here (sparse_adam_dispatch consumes the deduped form
+        # directly) so the clip norm below can use the summed-per-id rows
+        flat_ids32 = flat_ids.astype(jnp.int32)
+        uids, gsum = dedup_rows(flat_ids32, flat_rows, n_rows)
     # global-norm clip over the full data gradient: non-table leaves plus
-    # the gathered-row table grads (duplicate ids' rows sum downstream in
-    # dedup; their norm contribution here matches the dense cotangent's
-    # because disjoint scatter-adds preserve the squared sum... only for
-    # unique ids — for duplicates this slightly OVER-counts the norm, a
-    # conservative (stronger-clip) approximation of torch semantics)
-    scale = clip_scale_by_global_norm([g_rest, flat_rows], clip_norm)
+    # the table's data gradient. The table term uses the DEDUPED per-id
+    # row sums (sentinel rows carry exact zeros), so the factor equals
+    # torch's over the dense cotangent even when duplicate ids' row grads
+    # are positively aligned (sum-of-per-row ||g||^2 would UNDER-count
+    # ||sum g||^2 there and clip too weakly — ADVICE r4). The mesh branch
+    # pays one extra dedup for the same exactness, only when clipping.
+    if clip_norm and clip_norm > 0 and gsum is None:
+        _, gsum = dedup_rows(flat_ids.astype(jnp.int32), flat_rows, n_rows)
+    scale = clip_scale_by_global_norm(
+        [g_rest, gsum] if gsum is not None else [g_rest], clip_norm)
     if scale is not None:
         g_rest = jax.tree_util.tree_map(lambda g: g * scale, g_rest)
         flat_rows = flat_rows * scale
+        if uids is not None:
+            gsum = gsum * scale
     l2val = None
-    if mesh is not None and mesh.shape.get("model", 1) > 1:
+    if use_sharded:
         from aread_tpu.parallel.sharded_adam import sharded_sparse_table_adam
         new_table, m, v = sharded_sparse_table_adam(
             p_table, opt_state["m"], opt_state["v"], flat_ids, flat_rows,
@@ -397,8 +411,8 @@ def hybrid_update_sparse(optimizer: optax.GradientTransformation, lr: float,
             l2val = table_l2 * jnp.sum(
                 jnp.square(jax.lax.stop_gradient(p_table)))
     else:
-        out = sparse_table_adam(
-            p_table, opt_state["m"], opt_state["v"], flat_ids, flat_rows,
+        out = sparse_adam_dispatch(
+            p_table, opt_state["m"], opt_state["v"], uids, gsum,
             t, lr=lr, weight_decay=wd, l2=table_l2, table_shape=table_shape,
             lazy=lazy, assume_no_overflow=assume_no_overflow,
             want_l2=want_table_l2)
@@ -473,6 +487,10 @@ class Trainer:
         self.best_loss, self.best_mean_loss = np.inf, np.inf
         self.best_checkpoint = None
         self._improved = False
+        # --adl_eval_dlm_update: evaluate() sets this to the post-eval
+        # model state (mutated DLM centers) for fit() to carry forward;
+        # initialized here so no path can observe a stale value
+        self.eval_mutated_state = None
         self.step_timer = profiling.StepTimer()
 
     # ---------------------------------------------------------------- init
@@ -843,9 +861,14 @@ class Trainer:
         bs = self.config.bs * 8
         batcher = GlobalBatcher(x, y, bs, self.model.spec.domain_idx,
                                 self.domain2group, shuffle=False)
+        eval_mutates = getattr(self.model, "eval_dlm_update", False)
+        self.eval_mutated_state = None
         if self.config.streaming_eval:
             # device-resident histogram AUC: predictions never leave the
-            # device; only [n_domain, auc_bins] histograms cross the tunnel
+            # device; only [n_domain, auc_bins] histograms cross the tunnel.
+            # With --adl_eval_dlm_update the model state (DLM centers)
+            # threads batch-to-batch through the accum step too (ADVICE
+            # r4: the flag must not silently no-op under streaming eval).
             acc = metrics_lib.StreamingAUC(self.n_domain, self.config.auc_bins)
             if self._eval_accum_step is None:
                 model = self.model
@@ -857,23 +880,32 @@ class Trainer:
                     kwargs: Dict[str, Any] = {"train": False}
                     if "group" in batch:
                         kwargs["group"] = batch["group"]
-                    out = model.apply(variables, batch["x"], **kwargs)
+                    if eval_mutates:
+                        out, new_state = model.apply(
+                            variables, batch["x"],
+                            mutable=list(state.keys()), **kwargs)
+                    else:
+                        out = model.apply(variables, batch["x"], **kwargs)
+                        new_state = state
                     prob, logit = out["prob"], out["logit"]
                     if is_multi_tower and prob.ndim == 2:
                         prob = gather_group(prob, batch["group"])
                         logit = gather_group(logit, batch["group"])
                     return acc.update(auc_state, prob, batch["y"],
                                       batch["domain"], batch["valid"],
-                                      logits=logit)
+                                      logits=logit), dict(new_state)
                 self._eval_accum_step = accum
             auc_state = acc.init_state()
             for batch in batcher:
                 jb = self._place(batch)
-                auc_state = self._eval_accum_step(params, state, jb, auc_state)
+                auc_state, new_state = self._eval_accum_step(
+                    params, state, jb, auc_state)
+                if eval_mutates:
+                    state = new_state
+            if eval_mutates:
+                self.eval_mutated_state = state
             return acc.finalize(auc_state, domain_cnt_weight,
                                 multi_domain=self.config.is_evaluate_multi_domain)
-        eval_mutates = getattr(self.model, "eval_dlm_update", False)
-        self.eval_mutated_state = None
         preds, targets, domains = [], [], []
         for batch in batcher:
             jb = self._place(batch)

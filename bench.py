@@ -275,7 +275,7 @@ def main():
         return one_step
 
     def measure_variant(tag, moments_dtype, lazy, compute="float32"):
-        """Compile + time the 50-step scan for one optimizer variant.
+        """Compile + time the n_steps-step scan for one optimizer variant.
         Fresh copies of the pristine params/state each time (the scan
         donates its carry); the model forward is identical across
         variants — only the table-optimizer path differs."""
@@ -295,8 +295,8 @@ def main():
         # warmup / compile. NOTE: a host transfer (float(loss)) is the
         # sync point — on this image's tunneled TPU backend,
         # block_until_ready returns before device execution finishes.
-        _phase(f"[{tag}] compile 50-step scan (remote compile; cold "
-               "terminal ~60-120s)")
+        _phase(f"[{tag}] compile {n_steps}-step scan (remote compile; "
+               "cold terminal ~60-120s)")
         keys = jax.random.split(jax.random.PRNGKey(1), n_steps)
         params, state, opt_state, loss = run_steps(params, state,
                                                    opt_state, keys)

@@ -70,10 +70,21 @@ def main():
     # hand-count): total runs and collapse counts per side over ALL rows
     refs = [r["ref_auc"] for r in rows if r.get("ref_auc") is not None]
     tpus = [r["tpu_auc"] for r in rows if r.get("tpu_auc") is not None]
-    print(f"\ntotals: ref {len(refs)} runs, "
-          f"{sum(v < COLLAPSE for v in refs)} collapsed | "
-          f"tpu {len(tpus)} runs, {sum(v < COLLAPSE for v in tpus)} collapsed"
-          f" (min tpu {min(tpus):.4f})" if tpus else "\ntotals: no tpu runs")
+    # build each side's fragment independently: a --skip_ours (ref-only)
+    # matrix must still print the ref totals (ADVICE r4)
+    parts = []
+    if refs:
+        parts.append(f"ref {len(refs)} runs, "
+                     f"{sum(v < COLLAPSE for v in refs)} collapsed")
+    else:
+        parts.append("no ref runs")
+    if tpus:
+        parts.append(f"tpu {len(tpus)} runs, "
+                     f"{sum(v < COLLAPSE for v in tpus)} collapsed "
+                     f"(min tpu {min(tpus):.4f})")
+    else:
+        parts.append("no tpu runs")
+    print("\ntotals: " + " | ".join(parts))
 
 
 if __name__ == "__main__":

@@ -178,3 +178,31 @@ def test_grad_clip_norm_scales_update():
         lambda a, b: np.testing.assert_allclose(np.asarray(a),
                                                 np.asarray(b), atol=1e-7),
         ps1, ps2)
+
+    # DUPLICATE ids (ADVICE r4): the sparse clip factor must equal
+    # torch's over the dense cotangent, i.e. duplicates' row grads sum
+    # BEFORE the norm. With all rows positively aligned, the naive
+    # per-row sum under-counts the norm, so this distinguishes the two.
+    dup_ids = jnp.zeros((8, 8), jnp.int32)  # every gather hits row 0
+    dup_rows = jnp.ones((8, 8, 8), jnp.float32)
+    from aread_tpu.ops.sparse_adam import dedup_rows
+    gsum_d = dedup_rows(dup_ids.reshape(-1), dup_rows.reshape(-1, 8),
+                        n_rows)[1]
+    s_dense = clip_scale_by_global_norm([g_rest, gsum_d], clip)
+    pd1, _ = hybrid_update_sparse(
+        opt, 1e-2, 1e-8, params, g_rest, dup_ids, dup_rows,
+        jax.tree_util.tree_map(jnp.array, os0),
+        table_shape=(n_rows, 8), clip_norm=clip)
+    pd2, _ = hybrid_update_sparse(
+        opt, 1e-2, 1e-8, params,
+        jax.tree_util.tree_map(lambda g: g * s_dense, g_rest), dup_ids,
+        dup_rows * s_dense, jax.tree_util.tree_map(jnp.array, os0),
+        table_shape=(n_rows, 8))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-7),
+        pd1, pd2)
+    # and the naive per-row norm would have produced a DIFFERENT factor
+    s_naive = clip_scale_by_global_norm([g_rest, dup_rows.reshape(-1, 8)],
+                                        clip)
+    assert abs(float(s_dense) - float(s_naive)) > 1e-6

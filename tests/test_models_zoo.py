@@ -129,6 +129,34 @@ def test_adl_eval_dlm_update_flag(synthetic_data):
             assert mutated is None
 
 
+def test_adl_eval_dlm_update_streaming(synthetic_data):
+    """--adl_eval_dlm_update must also mutate DLM centers under
+    --streaming_eval (ADVICE r4: the accum path previously skipped the
+    mutable apply, silently no-op'ing the flag)."""
+    from aread_tpu.models import ADL
+
+    data = synthetic_data
+    d2g = np.array([0, 1, 2, 0])
+    model = ADL(spec=data.spec, embed_dim=8, n_tower=3,
+                tower_dims=(16, 8), att_layer_num=1, atten_embed_dim=8,
+                eval_dlm_update=True)
+    cfg = Config(model="adl", bs=128, embed_dim=8, adl_eval_dlm_update=True,
+                 streaming_eval=True)
+    trainer = Trainer(model, cfg, data.n_domain, domain2group=d2g)
+    batcher = GlobalBatcher(data.train_x[:256], data.train_y[:256], 128,
+                            data.spec.domain_idx, d2g)
+    params, state, opt = trainer.init(jax.random.PRNGKey(0),
+                                      next(iter(batcher)))
+    before = np.asarray(state["model_state"]["cluster_centers"])
+    res = trainer.evaluate(params, state, data.valid_x[:256],
+                           data.valid_y[:256], data.domain_cnt_weight)
+    assert np.isfinite(res["total_auc"])
+    mutated = trainer.eval_mutated_state
+    assert mutated is not None
+    after = np.asarray(mutated["model_state"]["cluster_centers"])
+    assert not np.allclose(before, after)
+
+
 def test_star_weight_product_effect(synthetic_data):
     """Zeroing the shared kernel must zero every domain tower's pre-BN
     output (weight product, star.py:82-94)."""
