@@ -139,13 +139,21 @@ def build_user_history(df: pd.DataFrame, months: int = 6) -> pd.DataFrame:
 def preprocess_amazon(ratings: pd.DataFrame, item_meta: pd.DataFrame,
                       k_cores: int = 3, prepare2train_month: int = 12,
                       domains: Sequence[str] = (),
-                      user_mean: Optional[pd.Series] = None) -> pd.DataFrame:
+                      user_mean: Optional[pd.Series] = None,
+                      history_months: Sequence[int] = (1, 2, 6)
+                      ) -> pd.DataFrame:
     """Amazon pipeline on in-memory frames (the reference streams from huge
     CSVs, preprocess.py:480-545; IO is orthogonal to the semantics).
 
     ratings: columns itemid(str asin), userid, rating, timestamp
     item_meta: columns itemid(asin), price(str), salesRank(str), brand,
                category (stringified list)
+    history_months: trailing windows for the user pos/neg item-sequence
+        columns. The reference's declared CSV schema carries 1-, 2- and
+        6-month pairs (preprocess.py:44-49) although its builder only
+        fills m=6 (preprocess.py:227-234) and training consumes only the
+        6-month pair (run.py:54); we emit all declared windows so the
+        output schema is a drop-in superset.
     """
     df = k_core_filter(ratings, k_cores)
 
@@ -176,7 +184,8 @@ def preprocess_amazon(ratings: pd.DataFrame, item_meta: pd.DataFrame,
     meta = meta[meta["itemid"].astype(str).isin(item_mapping)].copy()
     meta["itemid"] = meta["itemid"].astype(str).map(item_mapping)
 
-    df = build_user_history(df, months=6)
+    for m in history_months:
+        df = build_user_history(df, months=m)
     df = df.merge(meta[["itemid", "price", "sales_rank", "sales_chart",
                         "brand", "domain"]], on="itemid", how="left")
     dt = pd.to_datetime(df["timestamp"], unit="s")
@@ -209,9 +218,10 @@ def preprocess_amazon(ratings: pd.DataFrame, item_meta: pd.DataFrame,
     df["domain"] = df["domain"].astype(int)
 
     cols = ["userid", "itemid", "weekday", "domain", "sales_chart",
-            "sales_rank", "brand", "price",
-            "user_pos_6month_seq", "user_neg_6month_seq", "label", "timestamp"]
-    return df[cols]
+            "sales_rank", "brand", "price"]
+    for m in history_months:  # reference schema order (preprocess.py:47-49)
+        cols += [f"user_pos_{m}month_seq", f"user_neg_{m}month_seq"]
+    return df[cols + ["label", "timestamp"]]
 
 
 # --------------------------------------------------------------------------

@@ -143,10 +143,19 @@ def test_amazon_end_to_end(tmp_path):
     df = pd.read_csv(out)
     # amazon's label column is "label" (rating > per-user mean,
     # preprocess.py:177-179); aliccp/cloudtheme use "click"
+    # full declared reference schema incl. the 1/2-month history pairs
+    # (preprocess.py:44-49) — all six sequence columns must be present
     assert {"itemid", "userid", "domain", "label", "timestamp",
-            "user_pos_6month_seq"} <= set(df.columns)
+            "user_pos_1month_seq", "user_neg_1month_seq",
+            "user_pos_2month_seq", "user_neg_2month_seq",
+            "user_pos_6month_seq", "user_neg_6month_seq"} <= set(df.columns)
     assert len(df) > 0
     assert df["label"].isin([0, 1]).all()
+    # window nesting: every 1-month item must appear in the 6-month seq
+    import ast as _ast
+    for one, six in zip(df["user_pos_1month_seq"].map(_ast.literal_eval),
+                        df["user_pos_6month_seq"].map(_ast.literal_eval)):
+        assert set(one) <= set(six)
 
 
 def test_cloudtheme_trains_with_modulo_grouping(tmp_path):
