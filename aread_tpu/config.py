@@ -147,6 +147,17 @@ class Config:
     # (PARITY.md) showed the shared lr=1e-2 gated-family recipe blows up
     # in BOTH frameworks; clipping keeps the high-lr mode trainable.
     grad_clip_norm: float = 0.0
+    # dynamic domain->group regrouping for multi-tower models, applied
+    # between epochs (train/regroup.py — the reachable realization of the
+    # reference's DEAD regroup_all_domain, run.py:514-550: there
+    # train_loss_domain_group is allocated at run.py:73 but never
+    # populated and nothing calls the method). Comma-separated mode list:
+    # 'towerfirst' | 'besttower', optionally prefixed by 'served' (e.g.
+    # 'served,towerfirst'). The loss matrix is the per-(tower, domain)
+    # valid-split BCE of ALL tower heads (the reference never defined
+    # where its matrix came from; valid-split losses are the measurable
+    # choice). 'off' (default) = the reference's effective behavior.
+    dynamic_regroup: str = "off"
     # storage dtype of the table Adam moments (m, v). 'bfloat16' halves
     # their share of the per-step table sweep (24 -> 16 bytes/element-pass;
     # compute stays fp32). DEFAULT since r4: +19% train throughput (369k

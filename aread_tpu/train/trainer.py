@@ -481,6 +481,7 @@ class Trainer:
         self._device_data = None  # (host_x, host_y, dx, dy) HBM train split
         self._eval_step = None
         self._eval_accum_step = None
+        self._all_tower_step = None
         # early-stop state (reference run.py:99-103)
         self.trial_counter = 0
         self.best_auc, self.best_mean_auc = 0.0, 0.0
@@ -928,6 +929,97 @@ class Trainer:
             targets, preds, domains, domain_cnt_weight,
             multi_domain=self.config.is_evaluate_multi_domain)
 
+    # ------------------------------------------------- dynamic regrouping
+    def tower_domain_losses(self, params, state, x: np.ndarray,
+                            y: np.ndarray) -> np.ndarray:
+        """Per-(tower, domain) mean BCE of ALL tower heads on a split —
+        the loss matrix train/regroup.regroup_all_domain consumes (the
+        populated realization of the reference's always-empty
+        train_loss_domain_group, run.py:73,539-550)."""
+        from aread_tpu.train.regroup import get_losses_tower_domain
+
+        model = self.model
+
+        @jax.jit
+        def all_tower_probs(params, state, batch):
+            kwargs: Dict[str, Any] = {"train": False}
+            if "group" in batch:
+                kwargs["group"] = batch["group"]
+            out = model.apply({"params": params, **state}, batch["x"],
+                              **kwargs)
+            return out["prob"]
+
+        if self._all_tower_step is None:
+            self._all_tower_step = all_tower_probs
+        batcher = GlobalBatcher(x, y, self.config.bs * 8,
+                                self.model.spec.domain_idx,
+                                self.domain2group, shuffle=False)
+        preds, targets, domains = [], [], []
+        for batch in batcher:
+            prob = np.asarray(self._all_tower_step(
+                params, state, self._place(batch)))
+            n = int(batch["valid"].sum())
+            if prob.ndim == 1:  # single-head model: degenerate 1-tower
+                prob = prob[:, None]
+            preds.append(prob[:n])
+            targets.append(batch["y"][:n])
+            domains.append(batch["domain"][:n])
+        n_tower = preds[0].shape[1]
+        return get_losses_tower_domain(np.concatenate(preds),
+                                       np.concatenate(targets),
+                                       np.concatenate(domains),
+                                       n_tower, self.n_domain)
+
+    def apply_dynamic_regroup(self, params, state, valid_x, valid_y,
+                              verbose: bool = True) -> bool:
+        """Recompute domain->group from the valid-split loss matrix and
+        swap it in for subsequent epochs (config.dynamic_regroup). Returns
+        True when the assignment changed. The host batcher reads
+        self.domain2group per batch; only the device epoch scan captured
+        it at trace time, so that jit is dropped for a rebuild."""
+        modes = tuple(m.strip() for m in
+                      self.config.dynamic_regroup.split(",") if m.strip())
+        if not modes or modes == ("off",):
+            return False
+        if not self.is_multi_tower or self.domain2group is None:
+            raise ValueError(
+                f"dynamic_regroup={self.config.dynamic_regroup!r} needs a "
+                f"multi-tower model with a domain2group map "
+                f"(model={self.model_name})")
+        from aread_tpu.train.regroup import regroup_all_domain
+
+        matrix = self.tower_domain_losses(params, state, valid_x, valid_y)
+        selected = None
+        if "served" in modes:
+            # each tower pins the domain it currently serves best: argmin
+            # of its own loss row over its currently assigned domains
+            # (falling back to its global argmin if it serves none)
+            n_tower = matrix.shape[0]
+            cur = np.asarray(self.domain2group)
+            selected = []
+            for g in range(n_tower):
+                mine = np.flatnonzero(cur == g)
+                row = matrix[g]
+                if mine.size and np.isfinite(row[mine]).any():
+                    selected.append(int(mine[np.nanargmin(row[mine])]))
+                else:
+                    selected.append(int(np.nanargmin(row)))
+        # NaN columns (domains absent from the split) keep their current
+        # assignment instead of argmin-ing over NaNs
+        safe = np.where(np.isnan(matrix), np.inf, matrix)
+        new_d2g = regroup_all_domain(safe, modes, selected_domain=selected)
+        nan_dom = np.isnan(matrix).all(axis=0)
+        new_d2g = np.where(nan_dom, np.asarray(self.domain2group), new_d2g)
+        changed = not np.array_equal(new_d2g, np.asarray(self.domain2group))
+        if changed:
+            if verbose:
+                moved = int(np.sum(new_d2g != np.asarray(self.domain2group)))
+                print(f"dynamic_regroup({','.join(modes)}): {moved} "
+                      f"domain(s) reassigned")
+            self.domain2group = new_d2g.astype(np.int64)
+            self._epoch_scan = None  # captured the old d2g at trace time
+        return changed
+
     def is_continuable(self, params, state, opt_state, result: Dict, epoch_i: int) -> bool:
         """Early stopping on mean_auc with patience (reference run.py:459-484)."""
         key = "mean_auc" if "mean_auc" in result and not np.isnan(result["mean_auc"]) \
@@ -1056,6 +1148,14 @@ class Trainer:
                         msg += f" mean_auc={result['mean_auc']:.4f}"
                     print(msg)
                 cont = self.is_continuable(params, state, opt_state, result, epoch_i)
+                if cont and self.config.dynamic_regroup != "off":
+                    # between-epoch domain->group reassignment from the
+                    # valid loss matrix (config.dynamic_regroup); the host
+                    # batcher reads the trainer's map per batch
+                    if self.apply_dynamic_regroup(params, state,
+                                                  data.valid_x, data.valid_y,
+                                                  verbose=verbose):
+                        batcher.domain2group = self.domain2group
                 if ckpt_dir and self._improved:
                     from aread_tpu.train.checkpoint import save_checkpoint
                     save_checkpoint(ckpt_dir, params, state, opt_state,

