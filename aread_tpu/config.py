@@ -167,6 +167,16 @@ class Config:
     # BASELINE.md). 'float32' restores bit-exact torch-Adam moments for
     # loss-curve-level parity work (e.g. benchmarks/probe_gated_dynamics).
     table_moments_dtype: str = "bfloat16"  # 'bfloat16' | 'float32'
+    # storage dtype of the fused embedding TABLE itself. 'bfloat16' halves
+    # the table's read+write share of the sparse-Adam sweep (the last
+    # single-chip throughput lever: 389 of 777 MB/step at the bf16m
+    # default) plus the forward gather traffic. All optimizer compute
+    # stays f32 in-register and the write back is STOCHASTICALLY rounded
+    # (ops/rounding.py — per-step Adam deltas sit below the bf16 quantum
+    # of N(0,1) embeddings, so round-to-nearest would freeze updates; SR
+    # keeps E[w] exact). Forward casts gathered rows to f32. 'float32'
+    # (default) = the reference's exact monolithic-table semantics.
+    table_dtype: str = "float32"  # 'float32' | 'bfloat16'
     # include the stop_gradient table-L2 term in REPORTED losses so they
     # match the reference's printed losses (run.py:505). It never affects
     # gradients (the table L2 gradient folds into the fused Adam). On the

@@ -47,6 +47,11 @@ def build_model(config: Config, spec: FeatureSpec, n_domain: int,
         # the sparse/fused Adam kernels update in place at true byte size
         # (ops/embedding.py, ops/sparse_adam.py). No-op if 128 % E != 0.
         spec = spec.with_flat_table(e)
+    if config.table_dtype != spec.table_dtype:
+        # bf16 table storage with stochastic-rounded optimizer writes
+        # (config.table_dtype; ops/rounding.py)
+        import dataclasses as _dc
+        spec = _dc.replace(spec, table_dtype=config.table_dtype)
     common_att = dict(atten_embed_dim=config.atten_embed_dim,
                       att_layer_num=config.att_layer_num,
                       att_head_num=config.att_head_num,

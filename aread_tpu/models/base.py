@@ -50,6 +50,11 @@ class FeatureSpec:
     # see ops/embedding.FeaturesEmbedding.flat_storage). Set via
     # with_flat_table(embed_dim), which also pads the vocab.
     flat_table: bool = False
+    # Storage dtype of the fused table (config.table_dtype): 'bfloat16'
+    # halves the table's share of the sparse-Adam sweep AND the forward
+    # gather traffic; optimizer compute stays f32 with stochastic-rounded
+    # writes (ops/rounding.py), forward casts gathered rows to f32.
+    table_dtype: str = "float32"
 
     @property
     def multi_hot_flag(self) -> Tuple[bool, ...]:
@@ -99,6 +104,7 @@ def make_embedding(spec: FeatureSpec, embed_dim: int, name: str = "embedding") -
         seq_maxlen=spec.seq_maxlen,
         method=spec.method,
         flat_storage=spec.flat_table,
+        param_dtype=jnp.dtype(spec.table_dtype),
         name=name,
     )
 
@@ -142,7 +148,10 @@ def regularization_loss(params, rules: Sequence[Tuple[str, float]]):
     for path, leaf in flat.items():
         for pat, l2 in compiled:
             if pat.search(path):
-                total = total + l2 * jnp.sum(jnp.square(leaf))
+                # f32 accumulation (a bf16-stored table leaf would
+                # otherwise sum its 48M squares in bf16); no-op for f32
+                total = total + l2 * jnp.sum(
+                    jnp.square(leaf.astype(jnp.float32)))
                 break
     return total
 

@@ -154,6 +154,13 @@ class FeaturesEmbedding(nn.Module):
             # contract.
             embed_x = gather_rows(
                 table, jnp.clip(ids, 0, self.n_rows - 1))  # [B, F, E]
+        # bf16 table storage (config.table_dtype): ALL downstream compute
+        # stays f32 — cast the gathered rows up right after the gather
+        # (no-op for f32 tables). Placed BEFORE the perturb tap so the
+        # sparse data gradients (d loss / d rows) are f32 regardless of
+        # storage dtype.
+        if embed_x.dtype != jnp.float32:
+            embed_x = embed_x.astype(jnp.float32)
         # Sparse-gradient tap: a flax perturbation on the gathered rows.
         # Passthrough unless the caller supplies a 'perturbations'
         # collection; the trainers differentiate w.r.t. it to obtain

@@ -69,6 +69,13 @@ def fused_adam_update(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
     """One fused Adam step on an arbitrary-shape array (tiled as a flat
     [N/128, 128] view; tail padded). ``t`` is the 1-based step count
     (scalar int array). Returns (w, m, v); safe to donate inputs."""
+    if w.dtype == jnp.bfloat16:
+        # bf16 table storage needs the stochastic-rounded write; this
+        # opt-in kernel (AREAD_TPU_PALLAS_ADAM, measured no faster than
+        # the XLA fusion) delegates instead of duplicating the SR path
+        return reference_adam_update(w, m, v, g, t, lr=lr, b1=b1, b2=b2,
+                                     eps=eps, weight_decay=weight_decay,
+                                     l2=l2)
     if interpret is None:
         interpret = default_interpret()
     shape, dtype = w.shape, w.dtype
@@ -119,16 +126,25 @@ def fused_adam_update(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
 
 
 def reference_adam_update(w, m, v, g, t, lr, b1=0.9, b2=0.99, eps=1e-8,
-                          weight_decay=1e-8, l2=0.0):
+                          weight_decay=1e-8, l2=0.0, sr_seed=None):
     """Pure-jnp ground truth for tests. Moments may be stored bf16
     (config.table_moments_dtype): compute is f32, storage dtype preserved
-    (no-op astypes for f32 keep the f32 path bitwise unchanged)."""
-    in_m, in_v = m.dtype, v.dtype
+    (no-op astypes for f32 keep the f32 path bitwise unchanged). A bf16
+    WEIGHT leaf (config.table_dtype) computes in f32 and writes back with
+    stochastic rounding keyed by (element index, step) — ops/rounding.py."""
+    in_w, in_m, in_v = w.dtype, m.dtype, v.dtype
     tf = t.astype(jnp.float32)
-    g = g + (weight_decay + 2.0 * l2) * w
+    wf = w.astype(jnp.float32)
+    g = g.astype(jnp.float32) + (weight_decay + 2.0 * l2) * wf
     m = b1 * m.astype(jnp.float32) + (1 - b1) * g
     v = b2 * v.astype(jnp.float32) + (1 - b2) * g * g
     mhat = m / (1 - b1 ** tf)
     vhat = v / (1 - b2 ** tf)
-    return (w - lr * mhat / (jnp.sqrt(vhat) + eps),
-            m.astype(in_m), v.astype(in_v))
+    new_w = wf - lr * mhat / (jnp.sqrt(vhat) + eps)
+    if in_w == jnp.bfloat16:
+        from aread_tpu.ops.rounding import sround
+        idx = jnp.arange(int(np.prod(w.shape)),
+                         dtype=jnp.uint32).reshape(w.shape)
+        seed = (t if sr_seed is None else sr_seed).astype(jnp.int32)
+        new_w = sround(new_w, in_w, idx, seed)
+    return new_w.astype(in_w), m.astype(in_m), v.astype(in_v)

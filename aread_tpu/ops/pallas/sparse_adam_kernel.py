@@ -72,8 +72,8 @@ def supports(n_rows: int, d: int) -> bool:
     return LANES % d == 0 and (n_rows * d) % LANES == 0
 
 
-def _kernel(bounds_ref, scal_ref, w_ref, m_ref, v_ref, fr_ref, gfull_ref,
-            ow_ref, om_ref, ov_ref, ol2_ref=None, *, n_flat=None):
+def _kernel(bounds_ref, scal_ref, seed_ref, w_ref, m_ref, v_ref, fr_ref,
+            gfull_ref, ow_ref, om_ref, ov_ref, ol2_ref=None, *, n_flat=None):
     i = pl.program_id(0)
     lr, b1, b2, eps, decay, b1c, b2c = (scal_ref[0], scal_ref[1], scal_ref[2],
                                         scal_ref[3], scal_ref[4], scal_ref[5],
@@ -111,7 +111,9 @@ def _kernel(bounds_ref, scal_ref, w_ref, m_ref, v_ref, fr_ref, gfull_ref,
     # trace-time constant float(1 - 0.9) the jnp reference folds — a
     # visible parity break under bitwise tests
     omb1, omb2 = scal_ref[7], scal_ref[8]
-    w = w_ref[:]
+    # table may be stored bf16 (config.table_dtype): compute stays f32
+    # in-register; a no-op astype for f32 storage keeps that path bit-exact
+    w = w_ref[:].astype(jnp.float32)
     if ol2_ref is not None:
         # free ||w||^2 of the PRE-update table (the value the loss reports,
         # trainer.table_reg_value): w is already streaming through VMEM, so
@@ -132,7 +134,21 @@ def _kernel(bounds_ref, scal_ref, w_ref, m_ref, v_ref, fr_ref, gfull_ref,
     # update stays bit-exact torch Adam
     m2 = b1 * m_ref[:].astype(jnp.float32) + omb1 * g
     v2 = b2 * v_ref[:].astype(jnp.float32) + omb2 * g * g
-    ow_ref[:] = w - lr * (m2 / b1c) / (jnp.sqrt(v2 / b2c) + eps)
+    w2 = w - lr * (m2 / b1c) / (jnp.sqrt(v2 / b2c) + eps)
+    if ow_ref.dtype == jnp.bfloat16:
+        # bf16 table storage: STOCHASTIC rounding on the write — the
+        # per-step Adam delta (~lr) sits below the bf16 quantum of
+        # N(0,1)-scale weights, so round-to-nearest would freeze most
+        # updates; the position+step-keyed hash keeps E[w] exact and is
+        # bitwise-reproducible by the XLA fallback (ops/rounding.py).
+        from aread_tpu.ops.rounding import hash_bits, stochastic_round_bf16
+        rowi = jax.lax.broadcasted_iota(jnp.uint32, (BLOCK_F, LANES), 0)
+        lanei = jax.lax.broadcasted_iota(jnp.uint32, (BLOCK_F, LANES), 1)
+        gidx = ((i.astype(jnp.uint32) * jnp.uint32(BLOCK_F) + rowi)
+                * jnp.uint32(LANES) + lanei)
+        ow_ref[:] = stochastic_round_bf16(w2, hash_bits(gidx, seed_ref[0]))
+    else:
+        ow_ref[:] = w2
     om_ref[:] = m2.astype(om_ref.dtype)
     ov_ref[:] = v2.astype(ov_ref.dtype)
 
@@ -188,7 +204,8 @@ def sparse_adam_kernel_update(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
                               b2: float = 0.99, eps: float = 1e-8,
                               weight_decay: float = 1e-8, l2: float = 0.0,
                               table_shape: Tuple[int, int] = None,
-                              interpret: bool = None, want_l2: bool = False
+                              interpret: bool = None, want_l2: bool = False,
+                              sr_seed: jnp.ndarray = None
                               ) -> Tuple[jnp.ndarray, ...]:
     """One dense-semantics Adam step; data gradient as sorted-unique
     (uids [K] with sentinel n_rows padding, gsum [K, D]). w/m/v may be
@@ -204,7 +221,7 @@ def sparse_adam_kernel_update(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
     return sparse_adam_kernel_premeta(
         w, m, v, bounds, fr_pad, gfull, t, lr=lr, b1=b1, b2=b2, eps=eps,
         weight_decay=weight_decay, l2=l2, table_shape=(n_rows, d),
-        interpret=interpret, want_l2=want_l2)
+        interpret=interpret, want_l2=want_l2, sr_seed=sr_seed)
 
 
 def sparse_adam_kernel_premeta(w: jnp.ndarray, m: jnp.ndarray,
@@ -214,12 +231,16 @@ def sparse_adam_kernel_premeta(w: jnp.ndarray, m: jnp.ndarray,
                                b2: float = 0.99, eps: float = 1e-8,
                                weight_decay: float = 1e-8, l2: float = 0.0,
                                table_shape: Tuple[int, int] = None,
-                               interpret: bool = None, want_l2: bool = False
+                               interpret: bool = None, want_l2: bool = False,
+                               sr_seed: jnp.ndarray = None
                                ) -> Tuple[jnp.ndarray, ...]:
     """Kernel entry with pack_meta's outputs precomputed — lets the caller
     compute them once and reuse the overflow flag for the fallback cond
     (ops/sparse_adam.sparse_adam_dispatch). ``want_l2``: 4th output
-    sum(w_pre**2), accumulated in-kernel at zero bandwidth cost."""
+    sum(w_pre**2), accumulated in-kernel at zero bandwidth cost.
+    ``sr_seed``: int32 scalar keying the stochastic-rounding stream when
+    the table is stored bf16 (defaults to the step counter ``t`` — a
+    deterministic, checkpoint-replayable stream)."""
     if interpret is None:
         interpret = default_interpret()
     n_rows, d = table_shape if table_shape is not None else w.shape
@@ -228,6 +249,9 @@ def sparse_adam_kernel_premeta(w: jnp.ndarray, m: jnp.ndarray,
     n_flat = (n_rows * d) // LANES
     grid = -(-n_flat // BLOCK_F)
 
+    if sr_seed is None:
+        sr_seed = t
+    seed_arr = jnp.asarray(sr_seed, jnp.int32).reshape((1,))
     tf = t.astype(jnp.float32)
     scalars = jnp.stack([
         jnp.asarray(lr, jnp.float32), jnp.asarray(b1, jnp.float32),
@@ -263,7 +287,7 @@ def sparse_adam_kernel_premeta(w: jnp.ndarray, m: jnp.ndarray,
             (1, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),)
         kernel = _partial(_kernel, n_flat=n_flat)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # bounds, scalars
+        num_scalar_prefetch=3,  # bounds, scalars, sr seed
         grid=(grid,),
         in_specs=[block, block, block, fr_spec, gfull_spec],
         out_specs=out_specs,
@@ -272,11 +296,11 @@ def sparse_adam_kernel_premeta(w: jnp.ndarray, m: jnp.ndarray,
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        input_output_aliases={2: 0, 3: 1, 4: 2},  # w,m,v in place
+        input_output_aliases={3: 0, 4: 1, 5: 2},  # w,m,v in place
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(bounds, scalars, flat(w), flat(m), flat(v), fr_pad, gfull)
+    )(bounds, scalars, seed_arr, flat(w), flat(m), flat(v), fr_pad, gfull)
     unflat = lambda x: x.reshape(in_shape)
     ow, om, ov = (unflat(o) for o in outs[:3])
     if want_l2:

@@ -94,7 +94,8 @@ def sparse_adam_dispatch(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
                          table_shape: Tuple[int, int] = None,
                          lazy: bool = False,
                          assume_no_overflow: bool = False,
-                         want_l2: bool = False
+                         want_l2: bool = False,
+                         sr_seed: jnp.ndarray = None
                          ) -> Tuple[jnp.ndarray, ...]:
     """sparse_table_adam after dedup: (uids, gsum) are SORTED-unique with
     sentinel >= n_rows padding. Kernel on TPU when supported, exact XLA
@@ -120,12 +121,15 @@ def sparse_adam_dispatch(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
     is_flat = w.shape != (n_rows, d)
     kw = dict(lr=lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay, l2=l2)
     # pre-update ||w||^2 for paths that don't get it free from the kernel
-    # (same explicit full pass a trainer-side table_reg_value would pay)
-    w_l2 = (lambda: jnp.sum(jnp.square(w))) if want_l2 else None
+    # (same explicit full pass a trainer-side table_reg_value would pay);
+    # f32 accumulation for bf16-stored tables
+    w_l2 = ((lambda: jnp.sum(jnp.square(w.astype(jnp.float32))))
+            if want_l2 else None)
 
     if lazy:
         out = _lazy_sparse_adam(w, m, v, uids, gsum, t,
-                                table_shape=(n_rows, d), **kw)
+                                table_shape=(n_rows, d), sr_seed=sr_seed,
+                                **kw)
         return out + (w_l2(),) if want_l2 else out
 
     from aread_tpu.ops.pallas import sparse_adam_kernel as sak
@@ -134,10 +138,12 @@ def sparse_adam_dispatch(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
         # ground truth / overflow fallback; operates on the [n_rows, D]
         # view (on TPU the reshape from flat storage is a relayout — only
         # paid on the rare PAD_W overflow)
-        l2v = (jnp.sum(jnp.square(w_)),) if want_l2 else ()
+        l2v = ((jnp.sum(jnp.square(w_.astype(jnp.float32))),)
+               if want_l2 else ())
         if is_flat:
             w_, m_, v_ = (a.reshape(n_rows, d) for a in (w_, m_, v_))
-        out = _xla_sparse_adam(w_, m_, v_, uids, gsum, t, **kw)
+        out = _xla_sparse_adam(w_, m_, v_, uids, gsum, t, sr_seed=sr_seed,
+                               **kw)
         if is_flat:
             out = tuple(a.reshape(w.shape) for a in out)
         return tuple(out) + l2v
@@ -155,13 +161,15 @@ def sparse_adam_dispatch(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
         if assume_no_overflow:
             return sak.sparse_adam_kernel_premeta(
                 w, m, v, bounds, fr_pad, gfull, t,
-                table_shape=(n_rows, d), want_l2=want_l2, **kw)
+                table_shape=(n_rows, d), want_l2=want_l2, sr_seed=sr_seed,
+                **kw)
         return jax.lax.cond(
             overflow,
             xla_path,
             lambda w_, m_, v_: sak.sparse_adam_kernel_premeta(
                 w_, m_, v_, bounds, fr_pad, gfull, t,
-                table_shape=(n_rows, d), want_l2=want_l2, **kw),
+                table_shape=(n_rows, d), want_l2=want_l2, sr_seed=sr_seed,
+                **kw),
             w, m, v)
 
     return xla_path(w, m, v)
@@ -253,7 +261,8 @@ def steps_fit_kernel_jax(ids_2d: jnp.ndarray, n_rows: int, d: int,
 
 
 def _lazy_sparse_adam(w, m, v, uids, gsum, t, lr, b1=0.9, b2=0.99, eps=1e-8,
-                      weight_decay=1e-8, l2=0.0, table_shape=None):
+                      weight_decay=1e-8, l2=0.0, table_shape=None,
+                      sr_seed=None):
     """torch.optim.SparseAdam-semantics update: only the gathered rows'
     weights and moments change; bias correction uses the global step.
     Unlike torch's SparseAdam (which rejects weight_decay), the decay/L2
@@ -267,27 +276,34 @@ def _lazy_sparse_adam(w, m, v, uids, gsum, t, lr, b1=0.9, b2=0.99, eps=1e-8,
     mask confines the Adam update to owned lanes — untouched rows sharing
     a flat row are bit-unchanged. Total traffic is O(touched rows), not
     O(table): the whole point of lazy mode."""
+    from aread_tpu.ops.rounding import sround
+
     n_rows, d = table_shape if table_shape is not None else w.shape
     is_flat = w.shape != (n_rows, d)
     decay = weight_decay + 2.0 * l2
     tf_ = t.astype(jnp.float32)
     b1c = 1.0 - jnp.asarray(b1, jnp.float32) ** tf_
     b2c = 1.0 - jnp.asarray(b2, jnp.float32) ** tf_
+    seed = (t if sr_seed is None else sr_seed).astype(jnp.int32)
 
-    def adam(w_, m_, v_, g_, mask):
-        g_ = g_ + decay * w_ * mask
+    def adam(w_, m_, v_, g_, mask, idx):
+        # bf16-stored tables compute f32 + stochastic-round the write
+        # (ops/rounding.py); all astypes/srounds are no-ops for f32
+        wf = w_.astype(jnp.float32)
+        g_ = g_ + decay * wf * mask
         mf = m_.astype(jnp.float32)
         vf = v_.astype(jnp.float32)
         m2 = jnp.where(mask > 0, b1 * mf + (1.0 - b1) * g_, mf)
         v2 = jnp.where(mask > 0, b2 * vf + (1.0 - b2) * g_ * g_, vf)
-        w2 = jnp.where(mask > 0,
-                       w_ - lr * (m2 / b1c) / (jnp.sqrt(v2 / b2c) + eps), w_)
+        w2 = wf - lr * (m2 / b1c) / (jnp.sqrt(v2 / b2c) + eps)
+        w2 = jnp.where(mask > 0, sround(w2, w.dtype, idx, seed), w_)
         return w2, m2.astype(m.dtype), v2.astype(v.dtype)
 
     if not is_flat:
-        mask = (uids < n_rows).astype(w.dtype)[:, None]
+        mask = (uids < n_rows).astype(jnp.float32)[:, None]
         gid = jnp.minimum(uids, n_rows - 1)
-        nw, nm, nv = adam(w[gid], m[gid], v[gid], gsum, mask)
+        nw, nm, nv = adam(w[gid], m[gid], v[gid], gsum, mask,
+                          _row_flat_index(gid, d))
         return (w.at[uids].set(nw, mode="drop"),
                 m.at[uids].set(nm, mode="drop"),
                 v.at[uids].set(nv, mode="drop"))
@@ -296,14 +312,15 @@ def _lazy_sparse_adam(w, m, v, uids, gsum, t, lr, b1=0.9, b2=0.99, eps=1e-8,
         # unsupported packing ratio: pay the relayout, keep correctness
         w2, m2, v2 = _lazy_sparse_adam(
             w.reshape(n_rows, d), m.reshape(n_rows, d), v.reshape(n_rows, d),
-            uids, gsum, t, lr, b1, b2, eps, weight_decay, l2)
+            uids, gsum, t, lr, b1, b2, eps, weight_decay, l2,
+            sr_seed=sr_seed)
         return tuple(a.reshape(w.shape) for a in (w2, m2, v2))
 
     R = 128 // d
     n_flat = w.shape[0]
     K = uids.shape[0]
     # lane placement: P[r] scatters a D-vector into lanes [r*D, (r+1)*D)
-    P = jnp.zeros((R, d, 128), w.dtype)
+    P = jnp.zeros((R, d, 128), jnp.float32)
     P = P.at[jnp.arange(R)[:, None], jnp.arange(d)[None, :],
              (jnp.arange(R)[:, None] * d + jnp.arange(d)[None, :])].set(1.0)
     off = jnp.minimum(uids, n_rows - 1) % R
@@ -323,28 +340,53 @@ def _lazy_sparse_adam(w, m, v, uids, gsum, t, lr, b1=0.9, b2=0.99, eps=1e-8,
     ufid = jnp.full((K,), n_flat, jnp.int32).at[seg].set(
         sfid, indices_are_sorted=True)
     gid = jnp.minimum(ufid, n_flat - 1)
-    nw, nm, nv = adam(w[gid], m[gid], v[gid], gseg, lseg)
+    # storage element index of each (flat row, lane) — keys the SR stream
+    fidx = (gid.astype(jnp.uint32)[:, None] * jnp.uint32(128)
+            + jnp.arange(128, dtype=jnp.uint32)[None, :])
+    nw, nm, nv = adam(w[gid], m[gid], v[gid], gseg, lseg, fidx)
     return (w.at[ufid].set(nw, mode="drop"),
             m.at[ufid].set(nm, mode="drop"),
             v.at[ufid].set(nv, mode="drop"))
 
 
+def _row_flat_index(row_ids: jnp.ndarray, d: int) -> jnp.ndarray:
+    """[K, d] uint32 storage-element indices of the given table rows,
+    matching ops/rounding.flat_index_grid (and therefore the Pallas
+    kernel's in-kernel index map) — the key to bitwise-identical
+    stochastic rounding across the kernel and XLA paths."""
+    import numpy as np
+
+    r = row_ids.astype(jnp.uint32)[:, None]
+    c = jnp.arange(d, dtype=jnp.uint32)[None, :]
+    if 128 % d == 0:
+        rpf = np.uint32(128 // d)
+        return (r // rpf) * np.uint32(128) + (r % rpf) * np.uint32(d) + c
+    return r * np.uint32(d) + c
+
+
 def _xla_sparse_adam(w, m, v, uids, gsum, t, lr, b1=0.9, b2=0.99, eps=1e-8,
-                     weight_decay=1e-8, l2=0.0):
+                     weight_decay=1e-8, l2=0.0, sr_seed=None):
     """Exact pure-XLA two-phase update (scatter-based; ground truth and
-    CPU/overflow fallback)."""
-    n_rows = w.shape[0]
+    CPU/overflow fallback). A bf16-stored table (config.table_dtype)
+    computes in f32 and writes back with stochastic rounding keyed
+    exactly like the Pallas kernel (same (element index, seed) hash ->
+    bitwise-identical results, ops/rounding.py)."""
+    from aread_tpu.ops.rounding import flat_index_grid, sround
+
+    n_rows, d = w.shape
     decay = weight_decay + 2.0 * l2
     tf = t.astype(jnp.float32)
     b1c = 1.0 - jnp.asarray(b1, jnp.float32) ** tf
     b2c = 1.0 - jnp.asarray(b2, jnp.float32) ** tf
+    seed = (t if sr_seed is None else sr_seed).astype(jnp.int32)
 
     def adam(w_, m_, v_, g_):
-        g_ = g_ + decay * w_
+        wf = w_.astype(jnp.float32)  # no-op for f32 storage
+        g_ = g_ + decay * wf
         # f32 compute regardless of moment storage dtype (no-op for f32)
         m2 = b1 * m_.astype(jnp.float32) + (1.0 - b1) * g_
         v2 = b2 * v_.astype(jnp.float32) + (1.0 - b2) * g_ * g_
-        w2 = w_ - lr * (m2 / b1c) / (jnp.sqrt(v2 / b2c) + eps)
+        w2 = wf - lr * (m2 / b1c) / (jnp.sqrt(v2 / b2c) + eps)
         return w2, m2.astype(m.dtype), v2.astype(v.dtype)
 
     # phase B inputs from the PRE-step state (gather before the dense pass
@@ -353,9 +395,11 @@ def _xla_sparse_adam(w, m, v, uids, gsum, t, lr, b1=0.9, b2=0.99, eps=1e-8,
     gid = jnp.minimum(uids, n_rows - 1)
     ow, om, ov = w[gid], m[gid], v[gid]
     nw, nm, nv = adam(ow, om, ov, gsum)
+    nw = sround(nw, w.dtype, _row_flat_index(gid, d), seed)
 
     # phase A: decay-only dense pass (one fused elementwise chain)
-    w2, m2, v2 = adam(w, m, v, jnp.zeros_like(w))
+    w2, m2, v2 = adam(w, m, v, jnp.zeros_like(w, jnp.float32))
+    w2 = sround(w2, w.dtype, flat_index_grid(n_rows, d), seed)
 
     # phase B: overwrite touched rows with their exact full-gradient update
     w2 = w2.at[uids].set(nw, mode="drop")

@@ -81,8 +81,13 @@ def sharded_sparse_table_adam(w: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
         keep = jnp.arange(K) < run
         local = jnp.where(keep, local, tab_rows_per_shard)  # sentinel
         gloc = jnp.where(keep[:, None], gloc, 0)
+        # bf16-table stochastic rounding: decorrelate the per-shard SR
+        # streams (each shard's dispatch sees shard-LOCAL element indices,
+        # so an un-offset seed would reuse one stream on every shard)
+        sr_seed = t_.astype(jnp.int32) * mp + idx.astype(jnp.int32)
         return sparse_adam_dispatch(w_s, m_s, v_s, local, gloc, t_,
-                                    table_shape=(tab_rows_per_shard, d), **kw)
+                                    table_shape=(tab_rows_per_shard, d),
+                                    sr_seed=sr_seed, **kw)
 
     row_spec = P(axis, None)
     return jax.shard_map(

@@ -118,8 +118,10 @@ def strip_table_rule(rules):
 
 def table_reg_value(table):
     """stop_gradient(l2*||table||^2): keeps the reported loss equal to the
-    reference's (run.py:505) without paying the dense backward pass."""
-    return TABLE_L2 * jnp.sum(jnp.square(jax.lax.stop_gradient(table)))
+    reference's (run.py:505) without paying the dense backward pass.
+    f32 accumulation for bf16-stored tables (config.table_dtype)."""
+    return TABLE_L2 * jnp.sum(jnp.square(
+        jax.lax.stop_gradient(table).astype(jnp.float32)))
 
 
 def hybrid_init(optimizer: optax.GradientTransformation, params: Dict,
@@ -408,8 +410,8 @@ def hybrid_update_sparse(optimizer: optax.GradientTransformation, lr: float,
             t, mesh=mesh, lr=lr, weight_decay=wd, l2=table_l2,
             table_shape=table_shape, lazy=lazy)
         if want_table_l2:
-            l2val = table_l2 * jnp.sum(
-                jnp.square(jax.lax.stop_gradient(p_table)))
+            l2val = table_l2 * jnp.sum(jnp.square(
+                jax.lax.stop_gradient(p_table).astype(jnp.float32)))
     else:
         out = sparse_adam_dispatch(
             p_table, opt_state["m"], opt_state["v"], uids, gsum,

@@ -274,13 +274,20 @@ def main():
 
         return one_step
 
-    def measure_variant(tag, moments_dtype, lazy, compute="float32"):
+    def measure_variant(tag, moments_dtype, lazy, compute="float32",
+                        table_dtype="float32"):
         """Compile + time the n_steps-step scan for one optimizer variant.
         Fresh copies of the pristine params/state each time (the scan
         donates its carry); the model forward is identical across
-        variants — only the table-optimizer path differs."""
+        variants — only the table-optimizer path differs.
+        ``table_dtype='bfloat16'`` stores the table itself bf16 with
+        stochastic-rounded Adam writes (config.table_dtype; the forward
+        casts gathered rows to f32 — ops/embedding.py)."""
         _phase(f"[{tag}] optimizer init (Adam moments, 1.5M-row table)")
         params = jtu.tree_map(jnp.array, params0)
+        if table_dtype == "bfloat16":
+            tbl, rest = split_table(params)
+            params = merge_table(rest, tbl.astype(jnp.bfloat16))
         state = jtu.tree_map(jnp.array, state0)
         opt_state = hybrid_init(optimizer, params,
                                 moments_dtype=moments_dtype)
@@ -315,13 +322,14 @@ def main():
                "step_ms": round(step_s * 1e3, 3)}
         if not lazy:
             # Roofline context: the exact-mode step is dominated by the
-            # sparse-Adam full table sweep — r+w table (f32) and r+w both
-            # Adam moments (f32 or bf16). hbm_bw_util = sweep bytes /
-            # step time / v5e peak HBM bandwidth (819 GB/s), making
+            # sparse-Adam full table sweep — r+w table (f32 or bf16) and
+            # r+w both Adam moments (f32 or bf16). hbm_bw_util = sweep
+            # bytes / step time / v5e peak HBM bandwidth (819 GB/s), making
             # BASELINE.md's bandwidth-wall claim checkable from the record.
             elt = int(np.sum(spec.one_hot_dims)) * embed_dim
             mom_bytes = 2 if moments_dtype == "bfloat16" else 4
-            sweep_bytes = 2 * elt * 4 + 4 * elt * mom_bytes
+            tab_bytes = 2 if table_dtype == "bfloat16" else 4
+            sweep_bytes = 2 * elt * tab_bytes + 4 * elt * mom_bytes
             rec.update(sweep_bytes_per_step=sweep_bytes,
                        hbm_bw_util=round(sweep_bytes / step_s / 819e9, 3))
         # free this variant's moments before the next variant compiles
@@ -336,24 +344,29 @@ def main():
     legacy_lazy = bool(int(os.environ.get("AREAD_TPU_BENCH_LAZY", "0")))
     legacy_moments = os.environ.get("AREAD_TPU_BENCH_MOMENTS") or None
     if legacy_lazy or legacy_moments:
-        plan = [("primary", legacy_moments, legacy_lazy, "float32")]
+        plan = [("primary", legacy_moments, legacy_lazy, "float32",
+                 "float32")]
     else:
         # headline = first entry = the PRODUCTION DEFAULT
-        # (config.table_moments_dtype='bfloat16' since r4 — identical
-        # 2M-row AUC, BASELINE.md defaults decision); exact f32 moments
-        # stay recorded as the bit-exact-torch-Adam variant
-        plan = [("bf16m", "bfloat16", False, "float32"),
-                ("exact", None, False, "float32")]
+        # (config.table_moments_dtype='bfloat16' since r4; bf16t adds r5's
+        # bf16 TABLE storage with stochastic-rounded writes — headline
+        # flips to it once/if the 2M-row quality gate passes, see
+        # BASELINE.md defaults decision); exact f32 moments stay recorded
+        # as the bit-exact-torch-Adam variant
+        plan = [("bf16m", "bfloat16", False, "float32", "float32"),
+                ("bf16t", "bfloat16", False, "float32", "bfloat16"),
+                ("exact", None, False, "float32", "float32")]
         if int(os.environ.get("AREAD_TPU_BENCH_ALL", "0")):
             # bf16cm = bf16 moments + single-pass bf16 MXU matmuls
             # (config.compute_dtype='bfloat16'); lazy = torch SparseAdam
             # semantics (documented slower: XLA scatter)
-            plan.append(("bf16cm", "bfloat16", False, "bfloat16"))
-            plan.append(("lazy", None, True, "float32"))
+            plan.append(("bf16cm", "bfloat16", False, "bfloat16",
+                         "float32"))
+            plan.append(("lazy", None, True, "float32", "float32"))
 
     variants = {}
-    for tag, md, lz, cp in plan:
-        variants[tag] = measure_variant(tag, md, lz, cp)
+    for tag, md, lz, cp, td in plan:
+        variants[tag] = measure_variant(tag, md, lz, cp, td)
 
     _DONE.set()
     headline = os.environ.get("AREAD_TPU_BENCH_HEADLINE", plan[0][0])

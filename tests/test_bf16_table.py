@@ -1,0 +1,231 @@
+"""bf16 table storage with stochastic-rounded optimizer writes
+(config.table_dtype='bfloat16'; ops/rounding.py). Replaces the
+reference's monolithic f32 table (model/layer.py:150-157) with the
+TPU-native half-traffic variant; these tests pin (a) SR math
+(unbiasedness, grid preservation, determinism), (b) kernel-vs-XLA-path
+agreement, (c) lazy-mode untouched-row purity, (d) end-to-end training.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aread_tpu.ops.pallas.fused_adam import reference_adam_update
+from aread_tpu.ops.rounding import (flat_index_grid, hash_bits, sround,
+                                    stochastic_round_bf16)
+from aread_tpu.ops.sparse_adam import (dedup_rows, sparse_adam_dispatch,
+                                       sparse_table_adam)
+
+KW = dict(lr=1e-3, b1=0.9, b2=0.99, eps=1e-8, weight_decay=1e-8, l2=1e-5)
+
+
+# ------------------------------------------------------------------ helper
+def test_sround_unbiased_and_bounded():
+    """E[sr(x)] == x; every sample lands on one of the two bracketing
+    bf16 grid points."""
+    x = jnp.full((4, 128), 1.0 + 2**-10, jnp.float32)  # between bf16 ticks
+    idx = jnp.arange(4 * 128, dtype=jnp.uint32).reshape(4, 128)
+    lo, hi = np.float32(1.0), np.float32(1.0078125)
+    acc = 0.0
+    for s in range(300):
+        r = np.asarray(sround(x, jnp.bfloat16, idx, jnp.int32(s)),
+                       np.float32)
+        assert np.isin(r, [lo, hi]).all()
+        acc += r.mean(dtype=np.float64)
+    assert abs(acc / 300 - (1.0 + 2**-10)) < 2e-4
+    # negative mirror: unbiased in signed value
+    accn = 0.0
+    for s in range(300):
+        accn += np.asarray(sround(-x, jnp.bfloat16, idx, jnp.int32(s)),
+                           np.float64).mean()
+    assert abs(accn / 300 + (1.0 + 2**-10)) < 2e-4
+
+
+def test_sround_preserves_grid_values_and_f32_identity():
+    idx = jnp.arange(256, dtype=jnp.uint32).reshape(2, 128)
+    exact = jnp.asarray(np.float32([0.5, -2.0, 0.0, 1.0] * 64).reshape(2, 128))
+    r = sround(exact, jnp.bfloat16, idx, jnp.int32(9))
+    np.testing.assert_array_equal(np.asarray(r, np.float32),
+                                  np.asarray(exact))
+    # f32 target: identity passthrough
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 128)),
+                    jnp.float32)
+    assert (np.asarray(sround(x, jnp.float32, idx, jnp.int32(1)))
+            == np.asarray(x)).all()
+
+
+def test_sround_deterministic_in_seed_and_position():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(8, 128)).astype(np.float32))
+    idx = jnp.arange(8 * 128, dtype=jnp.uint32).reshape(8, 128)
+    a = np.asarray(sround(x, jnp.bfloat16, idx, jnp.int32(5)), np.float32)
+    b = np.asarray(sround(x, jnp.bfloat16, idx, jnp.int32(5)), np.float32)
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(sround(x, jnp.bfloat16, idx, jnp.int32(6)), np.float32)
+    assert (a != c).any()  # a different step rounds differently somewhere
+
+
+def test_flat_index_grid_matches_storage_reshape():
+    """flat_index_grid must enumerate elements in the exact order of the
+    [n_rows, D] -> [n_rows*D/128, 128] storage reshape (which is what the
+    Pallas kernel iterates)."""
+    g = np.asarray(flat_index_grid(64, 32))
+    assert (g.reshape(-1) == np.arange(64 * 32)).all()
+    g8 = np.asarray(flat_index_grid(32, 8))
+    assert (g8.reshape(-1) == np.arange(32 * 8)).all()
+
+
+# ------------------------------------------------------- XLA sparse path
+def _mk(n_rows, D, K, seed=0, w_dtype=jnp.bfloat16):
+    rng = np.random.default_rng(seed)
+    w = jnp.asarray(rng.normal(size=(n_rows, D)).astype(np.float32)
+                    ).astype(w_dtype)
+    m = jnp.asarray(rng.normal(size=(n_rows, D)) * 0.1, jnp.float32)
+    v = jnp.asarray(np.abs(rng.normal(size=(n_rows, D))) * 0.01, jnp.float32)
+    ids = jnp.asarray(rng.integers(0, n_rows, K), jnp.int32)
+    gv = jnp.asarray(rng.normal(size=(K, D)), jnp.float32)
+    return w, m, v, ids, gv
+
+
+def test_bf16_sparse_adam_expectation_matches_f32():
+    """Mean over many SR seeds of the bf16-stored update must converge to
+    the f32 update computed from the same (bf16-valued) start point."""
+    n_rows, D, K = 256, 8, 64
+    w, m, v, ids, gv = _mk(n_rows, D, K)
+    t = jnp.asarray(3, jnp.int32)
+    # f32 ground truth from the same numeric start (bf16 values, f32 math)
+    wf = w.astype(jnp.float32)
+    fw, _, _ = sparse_table_adam(wf, m, v, ids, gv, t, **KW)
+    uids, gsum = dedup_rows(ids, gv, n_rows)
+    acc = np.zeros((n_rows, D), np.float64)
+    n_seeds = 64
+    for s in range(n_seeds):
+        bw, _, _ = sparse_adam_dispatch(w, m, v, uids, gsum, t,
+                                        sr_seed=jnp.int32(1000 + s), **KW)
+        acc += np.asarray(bw, np.float64)
+    mean_w = acc / n_seeds
+    # SR noise of the mean ~ quantum/sqrt(n); bound by a quantum fraction
+    q = np.abs(np.asarray(fw, np.float64)) * 2**-8 + 1e-9
+    err = np.abs(mean_w - np.asarray(fw, np.float64))
+    assert (err <= 0.6 * q + 1e-7).mean() > 0.99, err.max()
+
+
+def test_bf16_kernel_matches_xla_path():
+    """Pallas kernel (interpret) and the XLA fallback share the SR hash
+    keyed by storage element index — results must agree to at most one
+    bf16 ulp on a vanishing fraction of elements (f32 pre-rounding values
+    agree to ~1 ulp; an SR tie at the boundary can flip)."""
+    from aread_tpu.ops.pallas.sparse_adam_kernel import (
+        sparse_adam_kernel_update, supports)
+
+    n_rows, D, K = 4096 * 16 + 512 * 16, 8, 256
+    assert supports(n_rows, D)
+    w, m, v, ids, gv = _mk(n_rows, D, K, seed=2)
+    t = jnp.asarray(5, jnp.int32)
+    uids, gsum = dedup_rows(ids, gv, n_rows)
+    kw_, km_, kv_ = sparse_adam_kernel_update(
+        w, m, v, uids, gsum, t, interpret=True, sr_seed=jnp.int32(5), **KW)
+    from aread_tpu.ops.sparse_adam import _xla_sparse_adam
+    xw_, xm_, xv_ = _xla_sparse_adam(w, m, v, uids, gsum, t,
+                                     sr_seed=jnp.int32(5), **KW)
+    a = np.asarray(kw_, np.float32)
+    b = np.asarray(xw_, np.float32)
+    mismatch = a != b
+    assert mismatch.mean() < 1e-3, mismatch.mean()
+    # any mismatch is a single-ulp SR tie flip
+    if mismatch.any():
+        q = np.abs(b[mismatch]) * 2**-8 + 1e-12
+        assert (np.abs(a[mismatch] - b[mismatch]) <= 1.01 * q).all()
+    np.testing.assert_allclose(np.asarray(km_), np.asarray(xm_),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(kv_), np.asarray(xv_),
+                               rtol=0, atol=1e-6)
+
+
+def test_bf16_lazy_untouched_rows_bit_pure():
+    """Lazy mode with a bf16 table: untouched rows' weights must be
+    BIT-unchanged (flat storage shares 128-lane rows between table
+    rows — the lane mask must confine SR writes too)."""
+    n_rows, D, K = 512, 8, 32
+    w, m, v, ids, gv = _mk(n_rows, D, K, seed=4)
+    flat = w.reshape(-1, 128)
+    t = jnp.asarray(2, jnp.int32)
+    fw, fm, fv = sparse_table_adam(flat, m.reshape(-1, 128),
+                                   v.reshape(-1, 128), ids, gv, t,
+                                   table_shape=(n_rows, D), lazy=True, **KW)
+    touched = np.zeros(n_rows, bool)
+    touched[np.asarray(ids)] = True
+    w_out = np.asarray(fw.reshape(n_rows, D).astype(jnp.float32))
+    w_in = np.asarray(w.astype(jnp.float32))
+    np.testing.assert_array_equal(w_out[~touched], w_in[~touched])
+    assert (w_out[touched] != w_in[touched]).any()
+
+
+def test_reference_adam_update_bf16_expectation():
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    m = jnp.zeros((64, 128), jnp.float32)
+    v = jnp.zeros((64, 128), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(64, 128)), jnp.float32)
+    fw, _, _ = reference_adam_update(w.astype(jnp.float32), m, v, g,
+                                     jnp.asarray(1, jnp.int32), **KW)
+    acc = np.zeros((64, 128), np.float64)
+    for s in range(64):
+        bw, _, _ = reference_adam_update(w, m, v, g,
+                                         jnp.asarray(1, jnp.int32),
+                                         sr_seed=jnp.int32(s), **KW)
+        acc += np.asarray(bw, np.float64)
+    q = np.abs(np.asarray(fw, np.float64)) * 2**-8 + 1e-9
+    err = np.abs(acc / 64 - np.asarray(fw, np.float64))
+    assert (err <= 0.6 * q + 1e-7).mean() > 0.99
+
+
+# --------------------------------------------------------------- trainer
+def test_trainer_bf16_table_end_to_end():
+    """Config(table_dtype='bfloat16') must build a bf16 table, train to a
+    finite decreasing loss, and keep all non-table params f32."""
+    from aread_tpu.config import Config
+    from aread_tpu.data.loader import make_synthetic_data
+    from aread_tpu.models import build_model
+    from aread_tpu.train.trainer import Trainer
+
+    data = make_synthetic_data(n_rows=2048, n_domain=3, vocab=80, seed=1)
+    cfg = Config(model="deepfm", bs=128, embed_dim=8, epoch=2, lr=1e-2,
+                 mlp_dims=(16, 8), table_dtype="bfloat16", early_stop=3)
+    model = build_model(cfg, data.spec, data.n_domain)
+    trainer = Trainer(model, cfg, data.n_domain)
+    result = trainer.fit(data, rng=jax.random.PRNGKey(0), verbose=False)
+    table = result["params"]["embedding"]["table"]
+    assert table.dtype == jnp.bfloat16
+    assert result["params"]["mlp"]["linear_0"]["kernel"].dtype == jnp.float32
+    h = result["history"]
+    assert np.isfinite(h[-1]["train_loss"])
+    assert h[-1]["train_loss"] < h[0]["train_loss"] * 1.05
+    assert np.isfinite(result["test"]["total_auc"])
+
+
+def test_trainer_bf16_table_learns():
+    """bf16t must LEARN the planted signal at toy scale. Note on scale:
+    an 80-row vocab is the SR-noise worst case (every row is hot, so the
+    stochastic-rounding random walk accumulates fastest relative to the
+    signal) — measured toy-scale gaps vs f32 were -0.01..-0.08 AUC over
+    3 seeds, washing out to +-0.02 at 3000-row vocab; the production
+    quality gate is the 2M-row scale run recorded in BASELINE.md. This
+    test only pins 'clearly above chance, in the f32 ballpark'."""
+    from aread_tpu.config import Config
+    from aread_tpu.data.loader import make_synthetic_data
+    from aread_tpu.models import build_model
+    from aread_tpu.train.trainer import Trainer
+
+    data = make_synthetic_data(n_rows=4096, n_domain=3, vocab=80, seed=2)
+    cfg = Config(model="deepfm", bs=256, embed_dim=8, epoch=3, lr=1e-2,
+                 mlp_dims=(16, 8), table_dtype="bfloat16", early_stop=3)
+    model = build_model(cfg, data.spec, data.n_domain)
+    trainer = Trainer(model, cfg, data.n_domain)
+    result = trainer.fit(data, rng=jax.random.PRNGKey(0), verbose=False)
+    best = max(h["total_auc"] for h in result["history"])
+    assert best > 0.65, best
