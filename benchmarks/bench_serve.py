@@ -1,0 +1,176 @@
+"""Serving latency benchmark (VERDICT r4 item 6).
+
+Measures the end-to-end Predictor path — host bucketing/padding, device
+dispatch, probability fetch — on the real chip at Amazon-scale shapes,
+for the flagship AREAD per-domain-mask path and a single-head DeepFM:
+
+  * cold: load_predictor() from a self-contained checkpoint + first
+    predict (includes the jit trace + remote compile);
+  * warm p50/p99 at batch 1, 128, 129 (first bucket overflow -> pads to
+    512) and 2048 (bucket boundary);
+  * compile count across the whole sweep (bucket padding must bound it).
+
+Honest-number note for THIS box: every predict is >=1 device dispatch
+through the tunneled TPU (8-30 ms round trip, CLAUDE.md) — p50 at batch
+1 is therefore tunnel-RTT-bound, not compute-bound; the per-example cost
+shows in the large-batch rows. Results: benchmarks/bench_serve.json and
+the serving table in BASELINE.md.
+
+Run: python benchmarks/bench_serve.py  (~3-4 min incl. compiles)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def pctl(xs, p):
+    return float(np.percentile(np.asarray(xs), p))
+
+
+def time_predict(pred, x, reps=30):
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = pred.predict(x)  # np.asarray inside = a real fetch/sync
+        assert np.isfinite(out).all()
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return {"p50_ms": round(pctl(ts, 50), 2), "p99_ms": round(pctl(ts, 99), 2),
+            "mean_ms": round(float(np.mean(ts)), 2)}
+
+
+def cache_size(pred):
+    fn = pred._fn
+    try:
+        return int(fn._cache_size())
+    except Exception:
+        return None
+
+
+def main():
+    import jax
+    jax.config.update("jax_default_prng_impl", "rbg")
+    from aread_tpu.utils.device_cleanup import install
+    install()
+    from aread_tpu.utils.jit_cache import enable
+    enable()
+    import jax.numpy as jnp
+
+    from aread_tpu.models.aread import AREAD
+    from aread_tpu.models.base import FeatureSpec
+    from aread_tpu.models.deepfm import DeepFM
+    from aread_tpu.serve.predictor import Predictor, load_predictor
+    from aread_tpu.train.checkpoint import save_checkpoint
+    from aread_tpu.train.trainer import split_variables
+    from aread_tpu.config import Config
+
+    embed_dim, n_domain = 32, 25
+    spec = FeatureSpec(
+        one_hot_dims=(1368287, 7, 25, 40, 11, 150000, 12),
+        n_seq_fields=2, itemid_idx=0, domain_idx=2, seq_maxlen=5)
+    spec = spec.with_flat_table(embed_dim)
+
+    rng = np.random.default_rng(0)
+
+    def make_x(n, n_domains_present):
+        cols = [rng.integers(0, d, size=(n, 1)) for d in spec.one_hot_dims]
+        cols[2] = rng.integers(0, n_domains_present, size=(n, 1))
+        seqs = rng.integers(0, spec.one_hot_dims[0], size=(n, 10))
+        return np.concatenate(cols + [seqs], axis=1).astype(np.int32)
+
+    results = {"box_note": "tunneled single v5e; each dispatch pays "
+                           "8-30 ms tunnel RTT (CLAUDE.md)"}
+
+    # ---------------------------------------------------------------- AREAD
+    print("[serve-bench] building AREAD flagship...", file=sys.stderr,
+          flush=True)
+    model = AREAD(spec=spec, embed_dim=embed_dim, n_tower=(3, 6, 12),
+                  n_domain=n_domain, base_model="mmoe",
+                  expert_dims=(256, 128, 64),
+                  tower_dims=((64, 32), (32, 16), (16, 8)), mmoe_n_expert=4)
+    x0 = jnp.asarray(make_x(8, n_domain))
+    from aread_tpu.models.aread import full_mask
+    fm = tuple(jnp.asarray(m) for m in full_mask(model.n_tower))
+    variables = jax.jit(
+        lambda r, xx: model.init({"params": r, "dropout": r}, xx,
+                                 domain_mask=fm, mode="domain_mask_final")
+    )(jax.random.PRNGKey(0), x0)
+    params, state = split_variables(variables)
+
+    # evolved-looking per-domain masks (random ~70% active) so the serve
+    # path exercises the HEMP mask gather, not the all-ones fallback
+    mrng = np.random.default_rng(1)
+    masks = [[mrng.random(np.asarray(m).shape) < 0.7 for m in fm]
+             for _ in range(n_domain)]
+
+    # cold path: self-contained checkpoint -> load_predictor -> 1st predict
+    cfg = Config(model="aread", dataset_name="amazon", embed_dim=embed_dim)
+    with tempfile.TemporaryDirectory() as td:
+        ck = os.path.join(td, "aread_best")
+        save_checkpoint(ck, params, state, opt_state={}, epoch=1,
+                        domain_mask=masks, spec=spec, run_config=cfg,
+                        n_domain=n_domain)
+        t0 = time.perf_counter()
+        pred = load_predictor(ck)
+        load_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = pred.predict(make_x(1, 1))
+        first_s = time.perf_counter() - t0
+    results["aread"] = {
+        "ckpt_load_s": round(load_s, 2),
+        "cold_first_predict_s": round(first_s, 2)}
+
+    # warm sweep; batch 129 pads into the 512 bucket; 2048 = boundary.
+    # single-domain batches isolate the bucket behavior...
+    for n in (1, 128, 129, 2048):
+        print(f"[serve-bench] aread warm n={n}...", file=sys.stderr,
+              flush=True)
+        x = make_x(n, 1)
+        _ = pred.predict(x)  # bucket-compile once outside the timing
+        r = time_predict(pred, x)
+        r["per_example_us_p50"] = round(r["p50_ms"] * 1e3 / n, 1)
+        results["aread"][f"batch_{n}"] = r
+    # ...and a mixed-domain 2048 batch (8 domains -> 8 sub-dispatches of
+    # the per-domain HEMP-mask path, the production request shape)
+    xm = make_x(2048, 8)
+    _ = pred.predict(xm)
+    results["aread"]["batch_2048_mixed8dom"] = time_predict(pred, xm)
+    results["aread"]["jit_cache_entries"] = cache_size(pred)
+
+    # --------------------------------------------------------------- DeepFM
+    print("[serve-bench] building DeepFM...", file=sys.stderr, flush=True)
+    dmodel = DeepFM(spec=spec, embed_dim=embed_dim, mlp_dims=(256, 128),
+                    dropout=0.0)
+    dvars = jax.jit(
+        lambda r, xx: dmodel.init({"params": r, "dropout": r}, xx)
+    )(jax.random.PRNGKey(0), x0)
+    dparams, dstate = split_variables(dvars)
+    dpred = Predictor(dmodel, dparams, dstate, n_domain)
+    results["deepfm"] = {}
+    for n in (1, 128, 2048):
+        print(f"[serve-bench] deepfm warm n={n}...", file=sys.stderr,
+              flush=True)
+        x = make_x(n, n_domain)
+        _ = dpred.predict(x)
+        r = time_predict(dpred, x)
+        r["per_example_us_p50"] = round(r["p50_ms"] * 1e3 / n, 1)
+        results["deepfm"][f"batch_{n}"] = r
+    results["deepfm"]["jit_cache_entries"] = cache_size(dpred)
+
+    out = os.path.join(REPO, "benchmarks", "bench_serve.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -270,13 +270,98 @@ def build_pepnet(dims, embed_dim, n_tower, dropout, use_atten, cfg_ours):
     return tm, jm, params, {"ppnet": pp_stats}
 
 
-BUILDERS = {"mmoe": build_mmoe, "pepnet": build_pepnet}
+def stack_mlps_nobn(torch_mlps):
+    """Stack bn-free, output-layer-free MLPs (PLE's CGC experts,
+    ple.py:87-93): every Linear is a hidden layer named linear_i —
+    stack_mlps' 'last linear = out' heuristic does not apply."""
+    linears = [[m for m in mlp.layers if isinstance(m, torch.nn.Linear)]
+               for mlp in torch_mlps]
+    return {f"linear_{i}": {
+        "kernel": n2j(np.stack([t2n(ls[i].weight).T for ls in linears])),
+        "bias": n2j(np.stack([t2n(ls[i].bias) for ls in linears]))}
+        for i in range(len(linears[0]))}
 
 
-def grad_check(tm, jm, params, stats, bx, by, grp, reg_rules):
+def pack_ple(tm, use_atten):
+    """Reference PLE weights -> our param/stats trees (model/ple.py:28-99
+    -> aread_tpu/models/ple.py). Separated from build_ple so grad_check
+    can re-pack with .data temporarily swapped to .grad (generic
+    per-block gradient parity without a hand-written grad mapper)."""
+    params = {
+        "embedding": {"table": n2j(t2n(tm.embedding.embedding_dict.weight))},
+        "linear": {"kernel": n2j(t2n(tm.linear.fc.weight).T),
+                   "bias": n2j(t2n(tm.linear.fc.bias))},
+    }
+    stats = {}
+    for i, cgc in enumerate(tm.cgc_layers):
+        # torch expert order: experts_specific[task*n_spec + e] — identical
+        # to our jnp.repeat layout (models/ple.py CGC)
+        blk = {"experts_specific": stack_mlps_nobn(cgc.experts_specific),
+               "experts_shared": stack_mlps_nobn(cgc.experts_shared)}
+        gk, gb = stack_linears([g[0] for g in cgc.gates_specific])
+        blk["gates_specific"] = {"kernel": gk, "bias": gb}
+        if cgc.cur_level < cgc.n_level:
+            blk["gate_shared"] = {
+                "kernel": n2j(t2n(cgc.gate_shared[0].weight).T),
+                "bias": n2j(t2n(cgc.gate_shared[0].bias))}
+        params[f"cgc_{i}"] = blk
+    tow_p, tow_s = stack_mlps(tm.towers)
+    params["towers"] = tow_p
+    stats["towers"] = tow_s
+    if use_atten:
+        params["atten"] = copy_atten(tm)
+    return params, stats
+
+
+def build_ple(dims, embed_dim, n_tower, dropout, use_atten, cfg_ours):
+    """PLE weight copy (VERDICT r4 item 4 — the one gated model never
+    probed; reference model/ple.py:76-128 CGC levels + shared gates)."""
+    from types import SimpleNamespace
+
+    from model.ple import PLE as TorchPLE
+
+    from aread_tpu.models.ple import PLE
+
+    mh = {"multi_hot_flag": [False] * len(dims), "seq_maxlen": 5,
+          "itemid_idx": 1, "method": "mean"}
+    tcfg = SimpleNamespace(use_dcn=False, use_atten=use_atten,
+                           atten_embed_dim=64, att_layer_num=3,
+                           att_head_num=2, att_res=True)
+    expert_dims = tuple(tuple(d) for d in cfg_ours.ple_expert_dims)
+    tm = TorchPLE(np.array(dims), embed_dim, mh, n_tower,
+                  cfg_ours.ple_n_expert_specific,
+                  cfg_ours.ple_n_expert_shared,
+                  [list(d) for d in expert_dims],
+                  list(cfg_ours.ple_tower_dims), dropout=dropout,
+                  config=tcfg)
+    spec = FeatureSpec(one_hot_dims=tuple(dims), n_seq_fields=0,
+                       itemid_idx=1, domain_idx=DOMAIN_IDX)
+    jm = PLE(spec=spec, embed_dim=embed_dim, n_tower=n_tower,
+             n_expert_specific=cfg_ours.ple_n_expert_specific,
+             n_expert_shared=cfg_ours.ple_n_expert_shared,
+             expert_dims=expert_dims,
+             tower_dims=tuple(cfg_ours.ple_tower_dims), dropout=dropout,
+             use_dcn=False, use_atten=use_atten)
+    params, stats = pack_ple(tm, use_atten)
+    return tm, jm, params, stats
+
+
+BUILDERS = {"mmoe": build_mmoe, "pepnet": build_pepnet, "ple": build_ple}
+# packers usable for the generic swap-grads grad_check (pack reads .data,
+# so swapping .data <-> .grad re-packs the GRADIENTS in our tree layout)
+PACKERS = {"ple": pack_ple}
+
+
+def grad_check(tm, jm, params, stats, bx, by, grp, reg_rules, packer=None,
+               use_atten=True):
     """Step-0 gradient parity per top-level block: torch autograd vs jax.
 
-    Relative error is ||g_ref - g_tpu|| / (||g_ref|| + 1e-12) per block."""
+    Relative error is ||g_ref - g_tpu|| / (||g_ref|| + 1e-12) per block.
+    ``packer``: optional (tm, use_atten) -> (params, stats) weight packer
+    (PACKERS) — the reference gradients are then obtained by temporarily
+    swapping every parameter's .data with its .grad and re-running the
+    SAME packer, so any model with a packer gets grad parity for free
+    (no hand-written per-model gradient mapper)."""
     import jax.tree_util as jtu
 
     from aread_tpu.train.trainer import TABLE_L2, bce_with_logits, masked_mean
@@ -313,6 +398,37 @@ def grad_check(tm, jm, params, stats, bx, by, grp, reg_rules):
     # mirror the weight-copy mapping for gradients
     def tg(t):
         return np.array(t2n(t.grad), dtype=np.float32, copy=True)
+
+    if packer is not None:
+        # generic path: re-pack with .data swapped to .grad
+        saved = []
+        with torch.no_grad():
+            for p in tm.parameters():
+                saved.append(p.data)
+                p.data = (p.grad if p.grad is not None
+                          else torch.zeros_like(p.data))
+        try:
+            ref_g, _ = packer(tm, use_atten)
+        finally:
+            with torch.no_grad():
+                for p, d in zip(tm.parameters(), saved):
+                    p.data = d
+        print("\n== step-0 gradient parity (rel err per block) ==")
+        worst = 0.0
+        for blk in sorted(params):
+            r_leaves = jtu.tree_leaves(ref_g[blk])
+            j_leaves = jtu.tree_leaves(jg[blk])
+            num = np.sqrt(sum(
+                float(np.sum((np.asarray(a) - np.asarray(b)) ** 2))
+                for a, b in zip(r_leaves, j_leaves)))
+            den = np.sqrt(sum(float(np.sum(np.asarray(a) ** 2))
+                              for a in r_leaves)) + 1e-12
+            rel = num / den
+            worst = max(worst, rel)
+            print(f"  {blk:12s} rel {rel:.3e}  (||g_ref|| {den:.4f})")
+        print(f"  worst block rel err: {worst:.3e}")
+        tm.zero_grad()
+        return worst
 
     ref_g = {"embedding": {"table": tg(tm.embedding.embedding_dict.weight)},
              "linear": {"kernel": tg(tm.linear.fc.weight).T,
@@ -468,11 +584,14 @@ def main():
                            args.bs, args.lr)
         return
     if args.grad_check:
-        assert args.model == "mmoe", "grad_check packs mmoe blocks only"
+        assert args.model == "mmoe" or args.model in PACKERS, (
+            "grad_check needs the mmoe packing or a PACKERS entry")
         from aread_tpu.train.trainer import strip_table_rule
         bx, by, grp = batches[0]
         grad_check(tm, jm, params, stats, bx, by, grp,
-                   strip_table_rule(type(jm).REG_RULES))
+                   strip_table_rule(type(jm).REG_RULES),
+                   packer=PACKERS.get(args.model),
+                   use_atten=bool(args.atten))
         return
 
     # --- ours: init shapes via the real path, then overwrite with the copy
