@@ -174,9 +174,14 @@ class Config:
     # stays f32 in-register and the write back is STOCHASTICALLY rounded
     # (ops/rounding.py — per-step Adam deltas sit below the bf16 quantum
     # of N(0,1) embeddings, so round-to-nearest would freeze updates; SR
-    # keeps E[w] exact). Forward casts gathered rows to f32. 'float32'
-    # (default) = the reference's exact monolithic-table semantics.
-    table_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # keeps E[w] exact). Forward casts gathered rows to f32.
+    # DEFAULT since r5: bench 482k vs 420k ex/s (+15%) in the same run,
+    # with IDENTICAL 2M-row quality (AREAD+HEMP test mean_auc 0.7633 =
+    # the bf16m default's 0.7633; wo_mask 0.7192 vs 0.7189 —
+    # benchmarks/scale_signal_bf16t.json, defaults decision in
+    # BASELINE.md). 'float32' restores the reference's exact monolithic-
+    # table semantics for parity work.
+    table_dtype: str = "bfloat16"  # 'bfloat16' | 'float32'
     # include the stop_gradient table-L2 term in REPORTED losses so they
     # match the reference's printed losses (run.py:505). It never affects
     # gradients (the table L2 gradient folds into the fused Adam). On the

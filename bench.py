@@ -347,14 +347,14 @@ def main():
         plan = [("primary", legacy_moments, legacy_lazy, "float32",
                  "float32")]
     else:
-        # headline = first entry = the PRODUCTION DEFAULT
-        # (config.table_moments_dtype='bfloat16' since r4; bf16t adds r5's
-        # bf16 TABLE storage with stochastic-rounded writes — headline
-        # flips to it once/if the 2M-row quality gate passes, see
-        # BASELINE.md defaults decision); exact f32 moments stay recorded
-        # as the bit-exact-torch-Adam variant
-        plan = [("bf16m", "bfloat16", False, "float32", "float32"),
-                ("bf16t", "bfloat16", False, "float32", "bfloat16"),
+        # headline = first entry = the PRODUCTION DEFAULT: bf16 TABLE
+        # storage with stochastic-rounded writes on top of bf16 moments
+        # (config.table_dtype='bfloat16' since r5 — 482k vs 420k ex/s in
+        # the same run with identical 2M-row AUC, BASELINE.md defaults
+        # decision); bf16m (the r4 default) and exact f32 moments stay
+        # recorded as the fallback and bit-exact-torch-Adam variants
+        plan = [("bf16t", "bfloat16", False, "float32", "bfloat16"),
+                ("bf16m", "bfloat16", False, "float32", "float32"),
                 ("exact", None, False, "float32", "float32")]
         if int(os.environ.get("AREAD_TPU_BENCH_ALL", "0")):
             # bf16cm = bf16 moments + single-pass bf16 MXU matmuls

@@ -137,11 +137,19 @@ def main():
     # ---------------- AREAD + HEMP end-to-end epoch (reduced rows)
     from aread_tpu.train.hemp import AREADTrainer
 
+    # default: ~2 regroups on the reduced split. For the FULL Amazon-scale
+    # AREAD row (AREAD_TPU_BENCH_EPOCH_AREAD_ROWS=17900000, VERDICT r4
+    # item 3) set AREAD_TPU_BENCH_EPOCH_REGROUP=2000 — the reference's
+    # production cadence (main.py regroup_interval default) — and
+    # AREAD_TPU_BENCH_EPOCH_CANDIDATES=10 (its candidate_mask_num).
+    regroup = int(os.environ.get("AREAD_TPU_BENCH_EPOCH_REGROUP",
+                                 int(AREAD_N / 1024 / 2)))
+    n_cand = int(os.environ.get("AREAD_TPU_BENCH_EPOCH_CANDIDATES", 3))
     acfg = Config(model="aread", dataset_name="amazon", bs=bs,
                   embed_dim=embed_dim, epoch=1,
                   warm_up_interval=32,
-                  regroup_interval=int(AREAD_N / 1024 / 2),  # ~2 regroups
-                  candidate_mask_num=3, regroup_update_step=5,
+                  regroup_interval=regroup,
+                  candidate_mask_num=n_cand, regroup_update_step=5,
                   regroup_eval_step=5)
     amodel = build_model(acfg, spec, n_domain)
     atrainer = AREADTrainer(amodel, acfg, n_domain)

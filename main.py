@@ -99,12 +99,14 @@ def load_config() -> Config:
                              "2M-row AUC — BASELINE.md) cuts the "
                              "optimizer's sweep traffic, compute stays "
                              "f32; float32 = bit-exact torch Adam")
-    parser.add_argument("--table_dtype", default="float32",
+    parser.add_argument("--table_dtype", default="bfloat16",
                         choices=["float32", "bfloat16"],
                         help="storage dtype of the embedding table itself; "
-                             "bfloat16 halves its optimizer-sweep and "
-                             "gather traffic (stochastic-rounded writes, "
-                             "f32 compute); float32 = reference-exact")
+                             "bfloat16 (default; +15%% ex/s, identical "
+                             "2M-row AUC — BASELINE.md) halves its "
+                             "optimizer-sweep and gather traffic "
+                             "(stochastic-rounded writes, f32 compute); "
+                             "float32 = reference-exact")
     parser.add_argument("--use_dcn", type=int, default=1,
                         help="side CrossNetwork tower in multi-tower models "
                              "(reference config.py:35; its default-on path "
