@@ -514,8 +514,9 @@ def torch_twin_control(build, dims, cfg, n_tower, dropout, atten, batches,
     torch.manual_seed(0)
     tm_b, _, _, _ = build(dims, cfg.embed_dim, n_tower, dropout, atten, cfg)
     with torch.no_grad():
-        w = tm_b.experts[0].layers[0].weight
-        w[0, 0] += perturb
+        # first >=2-d parameter (model-generic; was mmoe's experts[0])
+        w = next(p for p in tm_b.parameters() if p.ndim >= 2)
+        w.view(-1)[0] += perturb
     crit = torch.nn.BCELoss()
     opts = [torch.optim.Adam(m.parameters(), lr=lr, betas=(0.9, 0.99),
                              eps=1e-8, weight_decay=1e-8)
