@@ -382,6 +382,59 @@ class AREADTrainer:
 
         final_opt = make_optimizer(cfg.final_lr, cfg.wd)
 
+        # Final-gate phase steps: ONLY the final_gate leaf updates. The
+        # body is frozen in the LOSS (stop_gradient inside the model's
+        # 'domain_mask_final' mode) AND must be frozen in the OPTIMIZER:
+        # torch.optim.Adam skips parameters whose .grad is None, so the
+        # reference's no-grad body never moves — whereas a dense-Adam
+        # update over the full tree would walk every frozen weight toward
+        # zero at ~final_lr per step (zero data grad + the tiny decay
+        # term normalizes to a full-lr signed step), collapsing the body
+        # within one final epoch. Found by the r5 2M-row --aread_final
+        # run: final-phase valid mean_auc pinned at exactly 0.5
+        # (per-domain-constant predictions) before this fix.
+        import optax as _optax
+
+        def final_core(params, state, opt_state, batch, dm, rng):
+            from aread_tpu.train.trainer import matmul_precision_ctx
+            with matmul_precision_ctx(cfg.compute_dtype):
+                fg = params["final_gate"]
+                rest = {k: v for k, v in params.items()
+                        if k != "final_gate"}
+
+                def lf(fg_p):
+                    return bagging_loss(
+                        {**rest, "final_gate": fg_p}, None, state, batch,
+                        dm, rng, "domain_mask_final")
+
+                (loss, (new_state, gms)), g = jax.value_and_grad(
+                    lf, has_aux=True)(fg)
+                if cfg.loss_report_table_l2:
+                    loss = loss + table_reg_value(
+                        params["embedding"]["table"])
+                updates, new_opt_state = final_opt.update(g, opt_state, fg)
+                new_fg = _optax.apply_updates(fg, updates)
+                new_params = dict(params)
+                new_params["final_gate"] = new_fg
+                return new_params, dict(new_state), new_opt_state, loss, gms
+
+        final_step = jax.jit(final_core, donate_argnums=(0, 1, 2))
+
+        def final_scan_fn(params, state, opt_state, batches, dms, rng):
+            def body(carry, inp):
+                params, state, opt_state, rng = carry
+                batch, dm = inp
+                rng, srng = jax.random.split(rng)
+                params, state, opt_state, loss, gms = final_core(
+                    params, state, opt_state, batch, dm, srng)
+                return (params, state, opt_state, rng), (loss, gms)
+
+            (params, state, opt_state, rng), (losses, gms) = jax.lax.scan(
+                body, (params, state, opt_state, rng), (batches, dms))
+            return params, state, opt_state, rng, losses, gms
+
+        final_scan = jax.jit(final_scan_fn, donate_argnums=(0, 1, 2))
+
         # streaming eval: per-domain histogram accumulation on device
         self._auc = metrics_lib.StreamingAUC(self.n_domain, cfg.auc_bins)
         acc = self._auc
@@ -413,8 +466,8 @@ class AREADTrainer:
             "warmup_scan": make_scan(main_opt, cfg.lr, "wo_mask"),
             "warmup_step_idx": make_step_idx(main_opt, cfg.lr, "wo_mask"),
             "warmup_scan_idx": make_scan_idx(main_opt, cfg.lr, "wo_mask"),
-            "final_step": make_step(final_opt, cfg.final_lr, "domain_mask_final"),
-            "final_scan": make_scan(final_opt, cfg.final_lr, "domain_mask_final"),
+            "final_step": final_step,
+            "final_scan": final_scan,
             "final_opt": final_opt,
             "eval_loss": eval_loss_step,
             "eval_loss_multi": eval_loss_multi,
@@ -1099,9 +1152,10 @@ class AREADTrainer:
             # full sequence per epoch. We also reset the patience counter —
             # the main loop exits with it exhausted.
             fns = self._fns or self._build_fns()
-            final_opt_state = hybrid_init(
-                fns["final_opt"], params,
-                moments_dtype=self.config.table_moments_dtype)
+            # fresh Adam over the final_gate leaf ONLY (see the
+            # final_core note in _build_fns: the frozen body must not
+            # enter the optimizer, matching torch's skip-gradless-params)
+            final_opt_state = fns["final_opt"].init(params["final_gate"])
             self.trial_counter = 0
             for epoch_i in range(epochs if epochs is not None else cfg.final_epoch):
                 t0 = time.time()

@@ -153,3 +153,25 @@ def body_dedup2(c, key):
         sid, indices_are_sorted=True)
     return c, gsum.ravel()[:1] + uids[:1].astype(jnp.float32)
 bench("dedup2 (sorted flags)", body_dedup2, jnp.zeros(1))
+
+# 10. bf16t (r5 default): kernel with bf16 table+moments storage, and the
+# SAME-PATTERN 6-pass bf16 elementwise roofline — the measured floor that
+# makes BASELINE.md's "at the wall" claim checkable for the bf16t variant
+# specifically (VERDICT r4 weakness 7 asked for this for mixed sweeps).
+wb = w.astype(jnp.bfloat16)
+mb = jnp.zeros_like(wb); vb = jnp.zeros_like(wb)
+
+def body_kern_bf16(c, key):
+    w_, m_, v_ = c
+    t = jnp.asarray(1, jnp.int32)
+    ow, om, ov = sak.sparse_adam_kernel_update(
+        w_, m_, v_, uids0, gsum0, t, table_shape=(n_rows, D),
+        interpret=False, **kw)
+    return (ow, om, ov), ow.ravel()[:1].astype(jnp.float32)
+wb2 = bench("pallas kernel bf16t", body_kern_bf16, (wb, mb, vb))
+
+def body_roof_bf16(c, key):
+    w_, m_, v_ = c
+    s = (key[0].astype(jnp.float32) * 0 + 0.9).astype(jnp.bfloat16)
+    return (w_ * s, m_ * s, v_ * s), w_.ravel()[:1].astype(jnp.float32)
+bench("roofline 6-pass bf16 eltwise", body_roof_bf16, wb2)

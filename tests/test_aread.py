@@ -146,6 +146,50 @@ def test_hemp_final_gate_smoke():
     assert np.isfinite(result["test"]["total_auc"])
 
 
+def test_final_phase_optimizer_freezes_body():
+    """The final-gate TRAINING phase must leave every non-final_gate
+    param BIT-unchanged (torch Adam skips gradless params; a full-tree
+    dense-Adam update would walk the frozen body toward zero at
+    ~final_lr/step through the decay term — the r5 2M-row run showed the
+    collapse as valid mean_auc pinned at exactly 0.5)."""
+    from aread_tpu.data.loader import DomainBatcher
+
+    data = make_synthetic_data(n_rows=512, n_domain=3, vocab=60, seed=3)
+    model = _model(data.spec, data.n_domain)
+    cfg = Config(model="aread", bs=128, lr=1e-3, embed_dim=8,
+                 warm_up_interval=1, regroup_interval=1,
+                 regroup_update_step=1, regroup_eval_step=1,
+                 candidate_mask_num=1, epoch=1, final_epoch=1)
+    trainer = AREADTrainer(model, cfg, data.n_domain)
+    batcher = DomainBatcher(data.train_x, data.train_y, cfg.bs,
+                            data.spec.domain_idx, data.n_domain, seed=0)
+    sample = batcher.next_batch(0)
+    params, state, _ = trainer.init(jax.random.PRNGKey(0), sample)
+    # fresh trainer: give every domain the all-edges mask (fit() would
+    # have evolved these before the final phase)
+    trainer.mask_state.domain_mask = [
+        [np.asarray(m, bool) for m in full_mask(model.n_tower)]
+        for _ in range(data.n_domain)]
+    fns = trainer._build_fns()
+    before = jax.tree_util.tree_map(lambda a: np.asarray(a).copy(), params)
+    fstate = fns["final_opt"].init(params["final_gate"])
+    params, state, fstate, _, floss = trainer.train_final_epoch(
+        params, state, fstate, 0, batcher, jax.random.PRNGKey(1),
+        verbose=False)
+    assert np.isfinite(floss)
+    for key in before:
+        b_leaves = jax.tree_util.tree_leaves(before[key])
+        a_leaves = jax.tree_util.tree_leaves(params[key])
+        if key == "final_gate":
+            assert any((np.asarray(a) != b).any()
+                       for a, b in zip(a_leaves, b_leaves)), \
+                "final gate never trained"
+        else:
+            for a, b in zip(a_leaves, b_leaves):
+                np.testing.assert_array_equal(np.asarray(a), b,
+                                              err_msg=f"body moved: {key}")
+
+
 def test_hemp_device_data_matches_host_path():
     """AREAD/HEMP over the HBM-resident split (config.device_data='1':
     index-gathered batches, device fast-adapt/probe stacks) must be
