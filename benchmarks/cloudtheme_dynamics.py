@@ -53,9 +53,17 @@ def gen_raw_log(path: str, n_events: int, seed: int = 11) -> None:
     utype = rng.integers(0, 4, n_users)
     itype = rng.integers(0, 4, n_items)
 
-    users = rng.integers(0, n_users, n_events)
-    # 75% of events pick an item whose type matches the user's type —
-    # the signal the negative-sampled training task can recover
+    # Zipf-skewed user activity: positives over-represent active users
+    # while the pipeline's synthesized negatives draw users UNIFORMLY
+    # (preprocess.py:624-644 semantics) — a main-effect signal any
+    # embedding model recovers quickly. (A pure type-match interaction
+    # alone measured unlearnable within the epoch budget: LR on one-hot
+    # user+item gets AUC 0.504 by construction, and FM needs many more
+    # epochs to factor it.)
+    wu = 1.0 / (np.arange(1, n_users + 1) ** 0.7)
+    users = rng.choice(n_users, size=n_events, p=wu / wu.sum())
+    # plus 75% of events pick an item whose type matches the user's type
+    # — a second-order signal for the FM/tower interactions
     match = rng.random(n_events) < 0.75
     items = rng.integers(0, n_items, n_events)
     for t in range(4):
@@ -78,8 +86,14 @@ def gen_raw_log(path: str, n_events: int, seed: int = 11) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=100_000)
-    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--models", default="deepfm,mmoe")
+    ap.add_argument("--grad_clip", type=float, default=10.0,
+                    help="global-norm clip for the GATED models only "
+                         "(mmoe at lr 1e-2 NaN-blows on this data at "
+                         "epoch ~4 without it — the same recipe-"
+                         "survivorship mode PARITY.md documents; deepfm "
+                         "runs unclipped)")
     ap.add_argument("--platform", default="cpu",
                     help="'' to keep the default (TPU) backend")
     ap.add_argument("--fresh", action="store_true",
@@ -107,9 +121,11 @@ def main():
 
     results = []
     for name in args.models.split(","):
+        clip = 0.0 if name in ("deepfm", "dcn", "dcnv2") else args.grad_clip
         cfg = Config(model=name, dataset_name="cloudtheme", bs=1024,
                      embed_dim=8, epoch=args.epochs, lr=1e-2, dropout=0.2,
-                     is_evaluate_multi_domain=True, seed=2000)
+                     is_evaluate_multi_domain=True, seed=2000,
+                     grad_clip_norm=clip)
         data = load_split_data(csv, "cloudtheme", cfg.seq_maxlen)
         d2g = cfg.domain2group()
         if d2g is None and name in MULTI_TOWER_MODELS:
@@ -118,8 +134,14 @@ def main():
             d2g = np.arange(data.n_domain) % min(cfg.n_tower, data.n_domain)
         model = build_model(cfg, data.spec, data.n_domain)
         trainer = Trainer(model, cfg, data.n_domain, domain2group=d2g)
-        res = trainer.fit(data, rng=jax.random.PRNGKey(cfg.seed),
-                          verbose=True)
+        try:
+            res = trainer.fit(data, rng=jax.random.PRNGKey(cfg.seed),
+                              verbose=True)
+        except FloatingPointError as e:
+            results.append({"model": name, "failed": str(e),
+                            "grad_clip_norm": clip})
+            print(f"[{name} FAILED] {e}", flush=True)
+            continue
         row = {"model": name, "rows": len(data.train_x),
                "n_domain": data.n_domain,
                "valid_auc_by_epoch": [round(h["total_auc"], 4)
