@@ -73,7 +73,8 @@ def supports(n_rows: int, d: int) -> bool:
 
 
 def _kernel(bounds_ref, scal_ref, seed_ref, w_ref, m_ref, v_ref, fr_ref,
-            gfull_ref, ow_ref, om_ref, ov_ref, ol2_ref=None, *, n_flat=None):
+            gfull_ref, ow_ref, om_ref, ov_ref, ol2_ref=None, *, n_flat=None,
+            native_prng=False):
     i = pl.program_id(0)
     lr, b1, b2, eps, decay, b1c, b2c = (scal_ref[0], scal_ref[1], scal_ref[2],
                                         scal_ref[3], scal_ref[4], scal_ref[5],
@@ -139,14 +140,33 @@ def _kernel(bounds_ref, scal_ref, seed_ref, w_ref, m_ref, v_ref, fr_ref,
         # bf16 table storage: STOCHASTIC rounding on the write — the
         # per-step Adam delta (~lr) sits below the bf16 quantum of
         # N(0,1)-scale weights, so round-to-nearest would freeze most
-        # updates; the position+step-keyed hash keeps E[w] exact and is
-        # bitwise-reproducible by the XLA fallback (ops/rounding.py).
-        from aread_tpu.ops.rounding import hash_bits, stochastic_round_bf16
-        rowi = jax.lax.broadcasted_iota(jnp.uint32, (BLOCK_F, LANES), 0)
-        lanei = jax.lax.broadcasted_iota(jnp.uint32, (BLOCK_F, LANES), 1)
-        gidx = ((i.astype(jnp.uint32) * jnp.uint32(BLOCK_F) + rowi)
-                * jnp.uint32(LANES) + lanei)
-        ow_ref[:] = stochastic_round_bf16(w2, hash_bits(gidx, seed_ref[0]))
+        # updates; SR keeps E[w] exact.
+        if native_prng:
+            # real-TPU path: the hardware PRNG. The vectorized murmur
+            # hash below costs ~0.4 ms/step over the full 48.6M-element
+            # table at Amazon scale (VPU-bound — measured vs the bf16
+            # bare-copy floor, benchmarks/prof_sparse_adam.py);
+            # prng_random_bits + the native stochastic_round op are ~free
+            # against the HBM sweep. Stream is deterministic in
+            # (seed, block): checkpoint resume replays identically.
+            pltpu.prng_seed(seed_ref[0] * 1000003 + i)
+            rbits = pltpu.bitcast(
+                pltpu.prng_random_bits((BLOCK_F, LANES)), jnp.uint32)
+            ow_ref[:] = pltpu.stochastic_round(
+                w2, rbits, target_dtype=jnp.bfloat16)
+        else:
+            # interpret-mode path (pltpu.prng_seed has no CPU lowering):
+            # the position+step-keyed hash, bitwise-reproducible by the
+            # XLA fallback (ops/rounding.py) — what the cross-path
+            # equality tests pin.
+            from aread_tpu.ops.rounding import (hash_bits,
+                                                stochastic_round_bf16)
+            rowi = jax.lax.broadcasted_iota(jnp.uint32, (BLOCK_F, LANES), 0)
+            lanei = jax.lax.broadcasted_iota(jnp.uint32, (BLOCK_F, LANES), 1)
+            gidx = ((i.astype(jnp.uint32) * jnp.uint32(BLOCK_F) + rowi)
+                    * jnp.uint32(LANES) + lanei)
+            ow_ref[:] = stochastic_round_bf16(
+                w2, hash_bits(gidx, seed_ref[0]))
     else:
         ow_ref[:] = w2
     om_ref[:] = m2.astype(om_ref.dtype)
@@ -279,13 +299,15 @@ def sparse_adam_kernel_premeta(w: jnp.ndarray, m: jnp.ndarray,
                  jax.ShapeDtypeStruct((n_flat, LANES), m.dtype),
                  jax.ShapeDtypeStruct((n_flat, LANES), v.dtype))
     out_specs = (block, block, block)
-    kernel = _kernel
+    from functools import partial as _partial
+    # the hardware PRNG SR path only lowers on real TPU (interpret mode
+    # falls back to the portable hash — see _kernel)
+    kernel = _partial(_kernel, native_prng=not interpret)
     if want_l2:
-        from functools import partial as _partial
         out_shape = out_shape + (jax.ShapeDtypeStruct((1, 1), jnp.float32),)
         out_specs = out_specs + (pl.BlockSpec(
             (1, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),)
-        kernel = _partial(_kernel, n_flat=n_flat)
+        kernel = _partial(kernel, n_flat=n_flat)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # bounds, scalars, sr seed
         grid=(grid,),
