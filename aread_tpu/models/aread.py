@@ -26,7 +26,14 @@ Forward modes (reference aread.py:129-261):
   * 'domain_mask_bagging'— same but returns the full leaf stack so the
                            trainer averages per-leaf losses (bagging);
   * 'domain_mask_final'  — frozen body + trainable softmax final gate over
-                           leaves (reference's optional final-gate flow).
+                           leaves (reference's optional final-gate flow);
+  * 'batch_with_mask'    — serving-only: PER-EXAMPLE masks (each array in
+                           domain_mask carries a leading batch dim), so a
+                           mixed-domain request runs as ONE dispatch
+                           instead of one per domain (the reference's eval
+                           loop, run.py:718-727, is per-domain because
+                           torch branches on mask booleans; the dense
+                           masked einsum here is batch-shape agnostic).
 
 Every mode also returns per-level mean gate values (the accumulator the
 reference mutates on the module, aread.py:383-430) as a pure output; the
@@ -110,7 +117,9 @@ class AREAD(CTRModel):
           gate_means: tuple of [T_{l-1}, T_l] mean gate values per level.
         """
         assert mode in ("wo_mask", "domain_with_mask", "domain_mask_bagging",
-                        "domain_mask_final")
+                        "domain_mask_final", "batch_with_mask")
+        # per-example masks: every dm array gains a leading [B] dim
+        per_ex = mode == "batch_with_mask"
         embedding, linear = self._backbone(self.spec, self.embed_dim)
         embed_x = embedding(x)
         domain_embed = embed_x[:, self.spec.domain_idx, :]
@@ -151,9 +160,14 @@ class AREAD(CTRModel):
         else:
             assert domain_mask is not None, "masked modes need a domain_mask"
             dm = tuple(jnp.asarray(m) for m in domain_mask)
-            m0 = dm[0][0].astype(flat.dtype)  # [T0]
-            ge = (m0 / jnp.maximum(m0.sum(), 1e-8)) @ group_table  # [E]
-            group_embed = jnp.broadcast_to(ge[None, :], domain_embed.shape)
+            if per_ex:
+                m0 = dm[0][:, 0, :].astype(flat.dtype)  # [B, T0]
+                group_embed = (m0 / jnp.maximum(
+                    m0.sum(axis=1, keepdims=True), 1e-8)) @ group_table
+            else:
+                m0 = dm[0][0].astype(flat.dtype)  # [T0]
+                ge = (m0 / jnp.maximum(m0.sum(), 1e-8)) @ group_table  # [E]
+                group_embed = jnp.broadcast_to(ge[None, :], domain_embed.shape)
         gate_inputs = jnp.concatenate([domain_embed, group_embed], axis=1)
         if mode == "domain_mask_final":
             # body frozen when training the final gate (aread.py:246-256)
@@ -164,24 +178,36 @@ class AREAD(CTRModel):
         # ----- HEI levels
         gate_means = []
         # active towers per level: level l tower t active iff any input edge
-        active = [dm[0][0]]  # [T0] bool
-        for l in range(1, self.n_level):
-            active.append(jnp.any(dm[l], axis=0))
-        leaf_active = dm[self.n_level][:, 0]  # [T_last]
+        if per_ex:
+            active = [dm[0][:, 0, :]]  # [B, T0] bool
+            for l in range(1, self.n_level):
+                active.append(jnp.any(dm[l], axis=1))  # [B, T_l]
+            leaf_active = dm[self.n_level][:, :, 0]  # [B, T_last]
+        else:
+            active = [dm[0][0]]  # [T0] bool
+            for l in range(1, self.n_level):
+                active.append(jnp.any(dm[l], axis=0))
+            leaf_active = dm[self.n_level][:, 0]  # [T_last]
 
         outs = None
         for l in range(self.n_level):
             with jax.named_scope(f"hei_level_{l}"):
                 T_l = self.n_tower[l]
-                act = active[l].astype(flat.dtype)  # [T_l]
+                # [T_l] shared mask, or [B, T_l] per-example
+                act = active[l].astype(flat.dtype)
+                actb = act[:, :, None] if per_ex else act[None, :, None]
                 if l == 0:
-                    level_in = tower_inputs * act[None, :, None]
+                    level_in = tower_inputs * actb
                 else:
                     gl = StackedLinear(T_l, self.n_tower[l - 1],
                                        name=f"tower_gates_{l}")(gate_inputs_body)
                     gate_out = nn.softmax(gl, axis=-1)  # [B, T_l, T_{l-1}]
-                    edge_mask = dm[l].T.astype(flat.dtype)  # [T_l, T_{l-1}]
-                    masked = gate_out * edge_mask[None]
+                    if per_ex:
+                        edge_mask = jnp.swapaxes(dm[l], 1, 2).astype(flat.dtype)
+                        masked = gate_out * edge_mask  # [B, T_l, T_{l-1}]
+                    else:
+                        edge_mask = dm[l].T.astype(flat.dtype)  # [T_l, T_{l-1}]
+                        masked = gate_out * edge_mask[None]
                     renorm = masked / (jnp.sum(masked, axis=-1, keepdims=True) + 1e-8)
                     level_in = jnp.einsum("btp,bpd->btd", renorm, outs)
                     # recorded value = mean_B(gate_out * edge_mask) (aread.py:291-295)
@@ -189,10 +215,13 @@ class AREAD(CTRModel):
                     gate_means.append(jax.lax.stop_gradient(gm.T))  # [T_{l-1}, T_l]
                 body = StackedMLP(T_l, self.tower_dims[l], self.dropout,
                                   name=f"towers_{l}")(
-                    level_in, train=train, mask=mask, tower_gate=active[l])
+                    level_in, train=train, mask=mask,
+                    # per-example BN stat gating is undefined; batch_with_mask
+                    # is a serving (train=False) mode where the gate is unused
+                    tower_gate=None if per_ex else active[l])
                 if mode == "domain_mask_final":
                     body = jax.lax.stop_gradient(body)
-                outs = body * act[None, :, None]  # zero inactive towers
+                outs = body * actb  # zero inactive towers
 
         # ----- leaves: per-leaf linear over [cn_out || leaf_out] + shared
         # first-order logit (aread.py:119-121, 184-185, 303-310)
@@ -218,6 +247,9 @@ class AREAD(CTRModel):
             out["prob"] = jnp.mean(leaf_prob, axis=1)  # aread.py:186
         elif mode == "domain_with_mask":
             out["prob"] = jnp.sum(leaf_prob * la[None], axis=1) / jnp.maximum(la.sum(), 1e-8)
+        elif mode == "batch_with_mask":  # la: [B, T_last]
+            out["prob"] = jnp.sum(leaf_prob * la, axis=1) / jnp.maximum(
+                la.sum(axis=1), 1e-8)
         elif mode == "domain_mask_final":
             fg = nn.softmax(
                 nn.Dense(self.n_tower[-1], use_bias=False,

@@ -9,10 +9,15 @@ layer"); this module completes the production story TPU-first:
     training data or flags present;
   * batches are padded to power-of-two buckets so XLA compiles a bounded
     set of programs (arbitrary request sizes never trigger fresh traces);
-  * AREAD requests are grouped by domain on the host and run through that
-    domain's HEMP mask (mode='domain_with_mask'), exactly the reference's
-    evaluation contract (run.py:718-727); multi-tower models gather the
-    sample's group tower (run.py:497-500); results return in input order;
+  * AREAD single-domain requests run through that domain's HEMP mask
+    (mode='domain_with_mask'), exactly the reference's evaluation contract
+    (run.py:718-727); MIXED-domain requests run as ONE dispatch via
+    mode='batch_with_mask' — per-example masks gathered on device from the
+    stacked per-domain masks — instead of one dispatch per domain (each
+    dispatch pays this box's 8-30 ms tunnel RTT; measured 338 ms p50 for
+    an 8-domain batch on the per-domain loop, benchmarks/bench_serve.py);
+    multi-tower models gather the sample's group tower (run.py:497-500);
+    results return in input order;
   * predictions are probabilities (sigmoid outputs), matching the
     training/eval path bit-for-bit — tests/test_serving.py asserts
     equality against Trainer.evaluate.
@@ -52,6 +57,7 @@ class Predictor:
         self.compute_dtype = compute_dtype
         self.is_aread = type(model).__name__ == "AREAD"
         self._fn = None
+        self._fn_mixed = None
 
     # ------------------------------------------------------------- jitted
     def _build(self):
@@ -75,6 +81,8 @@ class Predictor:
                                       for d in range(self.n_domain)]))
                 for li in range(len(masks[0])))
 
+            stacked = self._stacked_masks
+
             @jax.jit
             def predict(params, state, x, dm):
                 with matmul_precision_ctx(self.compute_dtype):
@@ -82,6 +90,18 @@ class Predictor:
                                       domain_mask=dm,
                                       mode="domain_with_mask", train=False)
                 return out["prob"]
+
+            @jax.jit
+            def predict_mixed(params, state, x, dom):
+                # per-example masks: one gather per level from the stacked
+                # [n_domain, ...] masks (baked into the trace as constants)
+                dm = tuple(sm[dom] for sm in stacked)
+                with matmul_precision_ctx(self.compute_dtype):
+                    out = model.apply({"params": params, **state}, x,
+                                      domain_mask=dm,
+                                      mode="batch_with_mask", train=False)
+                return out["prob"]
+            self._fn_mixed = predict_mixed
             return predict
 
         @jax.jit
@@ -112,7 +132,19 @@ class Predictor:
         out = np.zeros((n,), np.float32)
 
         if self.is_aread:
-            for d in np.unique(domain):
+            doms = np.unique(domain)
+            if len(doms) > 1:
+                # mixed-domain request: ONE dispatch with per-example masks
+                b = _bucket(n)
+                padx = np.zeros((b - n, x.shape[1]), np.int32)
+                domp = np.concatenate(
+                    [domain, np.zeros((b - n,), domain.dtype)])
+                prob = self._fn_mixed(
+                    self.params, self.state,
+                    jnp.asarray(np.concatenate([x, padx])),
+                    jnp.asarray(domp, jnp.int32))
+                return np.asarray(prob)[:n].astype(np.float32)
+            for d in doms:
                 idx = np.nonzero(domain == d)[0]
                 xb = x[idx]
                 b = _bucket(len(idx))

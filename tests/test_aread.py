@@ -77,6 +77,42 @@ def test_masked_equals_womask_under_full_mask(aread_setup):
                                np.asarray(out_wo["prob"]), rtol=1e-4)
 
 
+def test_batch_with_mask_equals_per_domain(aread_setup):
+    """Serving mode: per-example masks (mode='batch_with_mask') must match
+    running each domain's slice through its own mask (domain_with_mask) —
+    the equivalence that lets Predictor serve a mixed-domain request as
+    ONE dispatch (reference eval loops per domain, run.py:718-727)."""
+    data, model, variables = aread_setup
+    x = jnp.asarray(data.train_x[:24])
+    rng = np.random.default_rng(3)
+    # three distinct random valid masks, one per domain
+    masks = []
+    for d in range(3):
+        m = [mm.copy() for mm in full_mask(N_TOWER)]
+        for li in range(1, len(m)):
+            drop = rng.random(m[li].shape) < 0.4
+            m[li] = m[li] & ~drop
+        masks.append(validate_mask([np.asarray(mm) for mm in m]))
+    dom = np.asarray(data.train_x[:24])[:, data.spec.domain_idx] % 3
+    stacked = tuple(
+        jnp.asarray(np.stack([np.asarray(masks[d][li], bool)
+                              for d in range(3)]))[jnp.asarray(dom)]
+        for li in range(len(masks[0])))
+    out_b = jax.jit(lambda v, xx, dm: model.apply(
+        v, xx, domain_mask=dm, mode="batch_with_mask"))(variables, x, stacked)
+    assert out_b["prob"].shape == (24,)
+    for d in range(3):
+        idx = np.nonzero(dom == d)[0]
+        if len(idx) == 0:
+            continue
+        dm = tuple(jnp.asarray(np.asarray(m, bool)) for m in masks[d])
+        out_d = model.apply(variables, x[idx], domain_mask=dm,
+                            mode="domain_with_mask")
+        np.testing.assert_allclose(np.asarray(out_b["prob"])[idx],
+                                   np.asarray(out_d["prob"]),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_hemp_training_smoke():
     """One epoch of the full AREAD/HEMP flow on a tiny setup: warm-up,
     mask evolution, bagging steps, per-domain eval."""
