@@ -158,6 +158,20 @@ class Config:
     # where its matrix came from; valid-split losses are the measurable
     # choice). 'off' (default) = the reference's effective behavior.
     dynamic_regroup: str = "off"
+    # HEMP candidate fast-adaptation engine (train/hemp.py,
+    # ops/overlay_adam.py). 'full': every candidate chain step runs the
+    # full-table sparse-Adam sweep — the direct replication of the
+    # reference's fresh dense torch Adam (run.py:632-657). 'overlay': the
+    # chain updates only a compact working-set copy (the union of its
+    # adapt batches' rows, with exact dense-Adam semantics including
+    # momentum/decay for set rows untouched on a given step) and probe
+    # lookups replay the closed decay-only drift recurrence for rows
+    # outside the set — mathematically the same chain, cost independent
+    # of table size (at Amazon scale the full sweeps are ~60% of an
+    # 8 s evolution). 'auto' (default): overlay on single-device runs
+    # with sparse table grads, full otherwise (mesh evolutions keep the
+    # sharded sweep).
+    hemp_fast_adapt: str = "auto"  # 'auto' | 'overlay' | 'full'
     # storage dtype of the table Adam moments (m, v). 'bfloat16' halves
     # their share of the per-step table sweep (24 -> 16 bytes/element-pass;
     # compute stays fp32). DEFAULT since r4: +19% train throughput (369k

@@ -92,6 +92,28 @@ class AREADTrainer:
         self._device_data = None  # (dxc, dyc, aug_offset) HBM split
         self.step_timer = profiling.StepTimer()
 
+    def overlay_enabled(self) -> bool:
+        """Resolve config.hemp_fast_adapt for this run (see config.py):
+        overlay chains need the sparse perturb-tap gradients and run the
+        compact sweep on one device; mesh evolutions keep the sharded
+        full sweep."""
+        mode = self.config.hemp_fast_adapt
+        if mode == "full":
+            return False
+        if mode == "overlay":
+            if self.mesh is not None:
+                raise ValueError(
+                    "hemp_fast_adapt='overlay' is single-device only "
+                    "(mesh evolutions use the sharded full sweep); use "
+                    "'auto' or 'full' on mesh runs")
+            if not self.config.sparse_table_grad:
+                raise ValueError(
+                    "hemp_fast_adapt='overlay' requires sparse_table_grad")
+            return True
+        if mode != "auto":
+            raise ValueError(f"hemp_fast_adapt={mode!r}")
+        return self.mesh is None and self.config.sparse_table_grad
+
     # ------------------------------------------------------------- jitted
     def _build_fns(self):
         model = self.model
@@ -333,6 +355,133 @@ class AREADTrainer:
                                         no_overflow)
             return jax.lax.map(one, (masks0, fa_idxs, probe_idxs, rngs))
 
+        def _fast_adapt_overlay(materialize, params0, state0, mask0,
+                                fa_items, probe_items, rng, extra,
+                                drift_l2):
+            """Overlay variant of _fast_adapt_impl (config.hemp_fast_adapt;
+            ops/overlay_adam module doc): the candidate chain runs its
+            table updates on a compact [C, 128] working-set copy (the
+            union of its adapt batches' rows — known up front) instead of
+            sweeping the full table each step, and probe lookups replay
+            the decay-only drift recurrence for rows outside the set.
+            Dense-Adam semantics preserved exactly (the reference's fresh
+            torch Adam over all parameters, run.py:632-657); evolution
+            cost becomes independent of vocab size. ``drift_l2`` is the
+            candidate-independent whole-table sum(drift(w)^2), computed
+            once per regroup by ``drift_l2_fn``."""
+            from functools import partial as _p
+
+            from aread_tpu.ops import overlay_adam as oa
+            from aread_tpu.ops.embedding import lookup_override
+            from aread_tpu.ops.sparse_adam import dedup_rows
+            from aread_tpu.train.trainer import (TABLE_L2,
+                                                 clip_scale_by_global_norm,
+                                                 matmul_precision_ctx)
+            from aread_tpu.utils.masks import prune_mask_jax
+
+            table0, rest0 = split_table(params0)
+            n_rows = int(np.sum(spec.one_hot_dims))
+            rpf = (128 // embed_dim) if spec.flat_table else 1
+            S = jax.tree_util.tree_leaves(fa_items)[0].shape[0]
+            xs = jax.vmap(lambda it: materialize(extra, it)["x"])(fa_items)
+            ws = oa.build_working_set(spec, rpf, xs)
+            wvals0, wm0, wv0 = oa.overlay_init(table0, ws)
+            hyper = dict(lr=cfg.update_lr, wd=cfg.wd, l2=TABLE_L2)
+
+            def body(carry, item):
+                rest, wvals, wm, wv, inner, t, state, mask, rng = carry
+                rng, srng = jax.random.split(rng)
+                batch = materialize(extra, item)
+
+                def lf(rest_p, pert):
+                    with lookup_override(_p(oa.overlay_gather, ws=ws,
+                                            wvals=wvals, drift_steps=0,
+                                            **hyper)):
+                        return bagging_loss(merge_table(rest_p, table0),
+                                            pert, state, batch, mask, srng,
+                                            "domain_mask_bagging")
+
+                with matmul_precision_ctx(cfg.compute_dtype):
+                    pert0 = perturbation_zeros(spec, batch["x"], embed_dim)
+                    (_, (new_state, gms)), (g_rest, g_pert) = \
+                        jax.value_and_grad(lf, argnums=(0, 1),
+                                           has_aux=True)(rest, pert0)
+                tids = embedding_flat_ids(spec, batch["x"]).reshape(-1)
+                rows = g_pert["embedding"]["rows"].reshape(-1, embed_dim)
+                uids, gsum = dedup_rows(tids.astype(jnp.int32), rows, n_rows)
+                if cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
+                    scale = clip_scale_by_global_norm(
+                        [g_rest, gsum], cfg.grad_clip_norm)
+                    g_rest = jax.tree_util.tree_map(
+                        lambda g: g * scale, g_rest)
+                    gsum = gsum * scale
+                # uids are TABLE rows; compact_grad folds rpf lane groups
+                # per flat row (a no-op split at rpf=1)
+                cg = oa.compact_grad(ws, uids, gsum, rpf)
+                t = t + 1
+                wvals, wm, wv = oa.overlay_adam_step(wvals, wm, wv, cg, t,
+                                                     **hyper)
+                updates, inner = fast_opt.update(g_rest, inner, rest)
+                rest = optax.apply_updates(rest, updates)
+                mask = prune_mask_jax(mask, gms, prun_ratio=0.05)
+                return (rest, wvals, wm, wv, inner, t, dict(new_state),
+                        mask, rng), 0.0
+
+            carry0 = (rest0, wvals0, wm0, wv0, fast_opt.init(rest0),
+                      jnp.zeros((), jnp.int32), state0, mask0, rng)
+            (rest, wvals, _, _, _, _, state, mask, _), _ = jax.lax.scan(
+                body, carry0, fa_items)
+
+            def probe(item):
+                batch = materialize(extra, item)
+                with matmul_precision_ctx(cfg.compute_dtype):
+                    with lookup_override(_p(oa.overlay_gather, ws=ws,
+                                            wvals=wvals, drift_steps=S,
+                                            **hyper)):
+                        out = apply_model(
+                            {"params": merge_table(rest, table0), **state},
+                            batch["x"], domain_mask=mask,
+                            mode="domain_with_mask", train=False)
+                prob = jnp.clip(out["prob"], 1e-7, 1 - 1e-7)
+                return masked_mean(-(batch["y"] * jnp.log(prob)
+                                     + (1 - batch["y"]) * jnp.log1p(-prob)),
+                                   batch["valid"])
+
+            # probe reg, exact: rest reg on the adapted params + TABLE_L2 *
+            # (whole-table drifted sum, corrected to this candidate's
+            # working-set values) — matches _fast_adapt_impl's hoisting
+            reg = regularization_loss(merge_table(rest, table0), reg_rules) \
+                + TABLE_L2 * (drift_l2 + oa.overlay_l2_correction(
+                    table0, ws, wvals, S, **hyper))
+            return mask, jax.lax.map(probe, probe_items) + reg
+
+        def fast_adapt_many_ov(params0, state0, masks0, fa_batches,
+                               probe_batches, rngs, drift_l2):
+            def one(inp):
+                mask0, fa, probe, rng = inp
+                return _fast_adapt_overlay(_passthrough, params0, state0,
+                                           mask0, fa, probe, rng, (),
+                                           drift_l2)
+            return jax.lax.map(one, (masks0, fa_batches, probe_batches,
+                                     rngs))
+
+        def fast_adapt_many_idx_ov(params0, state0, masks0, dxc, dyc,
+                                   fa_idxs, probe_idxs, rngs, drift_l2):
+            def one(inp):
+                mask0, fa, probe, rng = inp
+                return _fast_adapt_overlay(_gather, params0, state0, mask0,
+                                           fa, probe, rng, (dxc, dyc),
+                                           drift_l2)
+            return jax.lax.map(one, (masks0, fa_idxs, probe_idxs, rngs))
+
+        def drift_l2_fn(table):
+            """Once per regroup: sum(drift(w)^2) over the whole table —
+            shared by every candidate's probe-loss L2 term."""
+            from aread_tpu.ops import overlay_adam as oa
+            from aread_tpu.train.trainer import TABLE_L2
+            return oa.drift_table_l2(table, cfg.regroup_update_step,
+                                     cfg.update_lr, cfg.wd, TABLE_L2)
+
         @jax.jit
         def eval_loss_multi(params, state, batches, dm):
             """The regroup_eval_step no-grad probes in ONE dispatch:
@@ -453,6 +602,9 @@ class AREADTrainer:
             "fast_adapt_many": jax.jit(fast_adapt_many, static_argnums=(6,)),
             "fast_adapt_many_idx": jax.jit(fast_adapt_many_idx,
                                            static_argnums=(8,)),
+            "fast_adapt_many_ov": jax.jit(fast_adapt_many_ov),
+            "fast_adapt_many_idx_ov": jax.jit(fast_adapt_many_idx_ov),
+            "drift_l2": jax.jit(drift_l2_fn),
             "accum": make_accum("domain_with_mask"),
             "accum_final": make_accum("domain_mask_final"),
             "main_step": make_step(main_opt, cfg.lr, "domain_mask_bagging"),
@@ -889,17 +1041,27 @@ class AREADTrainer:
             jnp.asarray(np.stack([np.asarray(m[li]) for m in masks_np]))
             for li in range(len(masks_np[0])))
         from aread_tpu.train.trainer import kernel_dispatch_eligible
-        eligible = kernel_dispatch_eligible(cfg, self.mesh, self.model.spec,
-                                            self.model.embed_dim)
+        overlay = self.overlay_enabled()
+        eligible = (not overlay) and kernel_dispatch_eligible(
+            cfg, self.mesh, self.model.spec, self.model.embed_dim)
+        if overlay:
+            # candidate-independent whole-table drift L2 (ops/overlay_adam
+            # module doc) — one pass per regroup, shared by all probes
+            drift_l2 = fns["drift_l2"](snap[0]["embedding"]["table"])
         if device:
             dxc, dyc, _ = self._device_data
             fa_idxs = jnp.asarray(np.stack(fa_all))        # [N, S, bs]
             probe_idxs = jnp.asarray(np.stack(probe_all))
-            fits = eligible and bool(self._fits_from_idx(
-                dxc, fa_idxs.reshape(-1, fa_idxs.shape[-1])))
-            out_masks, out_losses = fns["fast_adapt_many_idx"](
-                snap[0], snap[1], masks0, dxc, dyc, fa_idxs, probe_idxs,
-                jnp.asarray(np.stack(keys)), fits)
+            if overlay:
+                out_masks, out_losses = fns["fast_adapt_many_idx_ov"](
+                    snap[0], snap[1], masks0, dxc, dyc, fa_idxs,
+                    probe_idxs, jnp.asarray(np.stack(keys)), drift_l2)
+            else:
+                fits = eligible and bool(self._fits_from_idx(
+                    dxc, fa_idxs.reshape(-1, fa_idxs.shape[-1])))
+                out_masks, out_losses = fns["fast_adapt_many_idx"](
+                    snap[0], snap[1], masks0, dxc, dyc, fa_idxs,
+                    probe_idxs, jnp.asarray(np.stack(keys)), fits)
         else:
             fa_stacked = self._place_stacked(
                 {k: np.stack([[b[k] for b in cand] for cand in fa_all])
@@ -907,13 +1069,18 @@ class AREADTrainer:
             probe_stacked = self._place_stacked(
                 {k: np.stack([[b[k] for b in cand] for cand in probe_all])
                  for k in probe_all[0][0]}, batch_axis=2)
-            # cond-free kernel dispatch precheck ON DEVICE over the
-            # already-placed stack (the host numpy sort of candidates x
-            # steps x K ids costs seconds per regroup on 2 CPU cores)
-            fits = eligible and bool(self._fits_from_x(fa_stacked["x"]))
-            out_masks, out_losses = fns["fast_adapt_many"](
-                snap[0], snap[1], masks0, fa_stacked, probe_stacked,
-                jnp.asarray(np.stack(keys)), fits)
+            if overlay:
+                out_masks, out_losses = fns["fast_adapt_many_ov"](
+                    snap[0], snap[1], masks0, fa_stacked, probe_stacked,
+                    jnp.asarray(np.stack(keys)), drift_l2)
+            else:
+                # cond-free kernel dispatch precheck ON DEVICE over the
+                # already-placed stack (the host numpy sort of candidates x
+                # steps x K ids costs seconds per regroup on 2 CPU cores)
+                fits = eligible and bool(self._fits_from_x(fa_stacked["x"]))
+                out_masks, out_losses = fns["fast_adapt_many"](
+                    snap[0], snap[1], masks0, fa_stacked, probe_stacked,
+                    jnp.asarray(np.stack(keys)), fits)
         out_masks = [np.asarray(m) for m in out_masks]
         out_losses = np.asarray(out_losses)
         for i, (d, z) in enumerate(cand_index):

@@ -128,6 +128,16 @@ def load_config() -> Config:
                              "'towerfirst' | 'besttower', optional "
                              "'served' prefix (e.g. 'served,towerfirst'); "
                              "'off' disables (reference behavior)")
+    parser.add_argument("--hemp_fast_adapt", default="auto",
+                        choices=["auto", "overlay", "full"],
+                        help="HEMP candidate fast-adapt engine: 'overlay' "
+                             "runs each chain on a compact working-set "
+                             "copy with exact dense-Adam semantics "
+                             "(evolution cost independent of vocab size, "
+                             "ops/overlay_adam.py); 'full' sweeps the "
+                             "whole table per chain step (the direct "
+                             "reference replication); 'auto' (default) = "
+                             "overlay on single-device sparse-grad runs")
     parser.add_argument("--adl_eval_dlm_update", action="store_true",
                         help="ADL: replicate the reference's eval-time DLM "
                              "center EMA updates (adl.py:61-77); default "
