@@ -166,11 +166,16 @@ class Config:
     # adapt batches' rows, with exact dense-Adam semantics including
     # momentum/decay for set rows untouched on a given step) and probe
     # lookups replay the closed decay-only drift recurrence for rows
-    # outside the set — mathematically the same chain, cost independent
-    # of table size (at Amazon scale the full sweeps are ~60% of an
-    # 8 s evolution). 'auto' (default): overlay on single-device runs
-    # with sparse table grads, full otherwise (mesh evolutions keep the
-    # sharded sweep).
+    # outside the set — the same chain to float round-off, with cost
+    # independent of table size. MEASURED CROSSOVER (prof_overlay.py,
+    # r5): at Amazon vocab (48.6M table elements) the streamed bf16
+    # sweep costs only 1.77 ms/step, BELOW the overlay's ~6-7 ms
+    # per-batch constant — overlay starts winning ~4x past Amazon scale.
+    # 'auto' (default): overlay on single-device sparse-grad runs whose
+    # table exceeds that crossover (AREADTrainer.OVERLAY_AUTO_MIN_ELEMS
+    # = 192M elements), full otherwise — so Amazon/AliCCP production
+    # runs keep the sweep and giant-vocab deployments get O(batch)
+    # evolutions automatically.
     hemp_fast_adapt: str = "auto"  # 'auto' | 'overlay' | 'full'
     # storage dtype of the table Adam moments (m, v). 'bfloat16' halves
     # their share of the per-step table sweep (24 -> 16 bytes/element-pass;

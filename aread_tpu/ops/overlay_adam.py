@@ -100,7 +100,10 @@ def compact_grad(ws: jnp.ndarray, uids: jnp.ndarray, gsum: jnp.ndarray,
     C = ws.shape[0]
     D = gsum.shape[1]
     tids = ws[:, None] * rpf + jnp.arange(rpf, dtype=jnp.int32)[None, :]
-    k = jnp.searchsorted(uids, tids)                      # [C, rpf]
+    # method='sort' is load-bearing on TPU: the default 'scan' binary
+    # search measures 50.5 ms for these 348k queries vs 0.6 ms for the
+    # concat-argsort formulation (benchmarks/prof_overlay.py)
+    k = jnp.searchsorted(uids, tids, method="sort")       # [C, rpf]
     k = jnp.minimum(k, uids.shape[0] - 1)
     hit = uids[k] == tids
     vals = jnp.where(hit[..., None], gsum[k], 0.0)        # [C, rpf, D]
@@ -139,7 +142,9 @@ def overlay_gather(table, row_ids, *, ws, wvals, drift_steps: int,
     (0 during adapt steps — their batches are subsets of the working
     set by construction, so the fallback never fires there)."""
     rid = row_ids.astype(jnp.int32)
-    pos = jnp.searchsorted(ws, rid)
+    # 'sort' method: 4x faster than the default binary search on TPU at
+    # these query counts (prof_overlay.py)
+    pos = jnp.searchsorted(ws, rid, method="sort")
     pos = jnp.minimum(pos, ws.shape[0] - 1)
     hit = ws[pos] == rid
     over = jnp.take(wvals, pos, axis=0)
@@ -153,24 +158,13 @@ def drift_table_l2(table, n_steps: int, lr: float, wd: float, l2: float):
     """sum(drift(w)^2) over the WHOLE flat table — candidate-independent
     (drift is a function of (w0, n_steps) only), so the trainer computes
     it once per regroup and shares it across all candidates' probe
-    losses. One full-table read; chunked so the f32 upcast of a bf16
-    table never materializes whole."""
-    n = table.shape[0]
-    chunk = min(65536, n)
-    pad = (-n) % chunk
-    tp = jnp.pad(table, ((0, pad), (0, 0))) if pad else table
-    blocks = tp.reshape(-1, chunk, tp.shape[1])
-
-    def one(i, acc):
-        b = drift_rows(blocks[i].astype(jnp.float32), n_steps, lr, wd, l2)
-        sq = jnp.sum(jnp.square(b), axis=1)
-        if pad:  # zero-padded tail rows drift to nonzero — mask them out
-            live = i * chunk + jnp.arange(chunk) < n
-            sq = jnp.where(live, sq, 0.0)
-        return acc + jnp.sum(sq)
-
-    return jax.lax.fori_loop(0, blocks.shape[0], one,
-                             jnp.zeros((), jnp.float32))
+    losses. One fused full-table pass — an earlier chunked fori_loop
+    variant (meant to bound the f32 upcast's footprint) measured 1.9 s
+    at Amazon scale because the loop body defeated XLA's elementwise
+    fusion; the straight-line version is bandwidth-bound and the f32
+    temporary (195 MB at Amazon scale) is well within HBM."""
+    d = drift_rows(table.astype(jnp.float32), n_steps, lr, wd, l2)
+    return jnp.sum(jnp.square(d))
 
 
 def overlay_l2_correction(table, ws, wvals, drift_steps: int, lr: float,

@@ -92,11 +92,26 @@ class AREADTrainer:
         self._device_data = None  # (dxc, dyc, aug_offset) HBM split
         self.step_timer = profiling.StepTimer()
 
+    # hemp_fast_adapt='auto' crossover, in TABLE ELEMENTS (n_rows * E).
+    # Measured on the v5e (benchmarks/prof_overlay.py, r5): at Amazon
+    # scale (48.6M elements) the full path's per-adapt-step table cost is
+    # the 1.77 ms streamed bf16 sweep, while the overlay's compact-path
+    # extra is ~6-7 ms (compact_grad 6.1 ms — dominated by the
+    # lane-padded [C, rpf, D] gather — + adam 0.8 + lookup 0.6), so
+    # overlay LOSES below ~4x Amazon vocab and only wins where the
+    # O(table) sweep dominates its O(batch) constant. The sweep scales
+    # linearly with elements; the overlay cost is scale-free =>
+    # crossover ~ 190M elements.
+    OVERLAY_AUTO_MIN_ELEMS = 192_000_000
+
     def overlay_enabled(self) -> bool:
         """Resolve config.hemp_fast_adapt for this run (see config.py):
         overlay chains need the sparse perturb-tap gradients and run the
         compact sweep on one device; mesh evolutions keep the sharded
-        full sweep."""
+        full sweep. 'auto' additionally requires the table to be PAST the
+        measured overlay/full crossover (OVERLAY_AUTO_MIN_ELEMS) — below
+        it the streamed bf16 sweep is cheaper than the compact path's
+        per-batch constant."""
         mode = self.config.hemp_fast_adapt
         if mode == "full":
             return False
@@ -112,7 +127,10 @@ class AREADTrainer:
             return True
         if mode != "auto":
             raise ValueError(f"hemp_fast_adapt={mode!r}")
-        return self.mesh is None and self.config.sparse_table_grad
+        spec = self.model.spec
+        elems = int(np.sum(spec.one_hot_dims)) * self.model.embed_dim
+        return (self.mesh is None and self.config.sparse_table_grad
+                and elems >= self.OVERLAY_AUTO_MIN_ELEMS)
 
     # ------------------------------------------------------------- jitted
     def _build_fns(self):

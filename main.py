@@ -136,8 +136,11 @@ def load_config() -> Config:
                              "(evolution cost independent of vocab size, "
                              "ops/overlay_adam.py); 'full' sweeps the "
                              "whole table per chain step (the direct "
-                             "reference replication); 'auto' (default) = "
-                             "overlay on single-device sparse-grad runs")
+                             "reference replication); 'auto' (default) "
+                             "picks by the measured crossover — full up "
+                             "to ~4x Amazon vocab where the streamed "
+                             "bf16 sweep is cheaper, overlay beyond "
+                             "(192M table elements; BASELINE.md)")
     parser.add_argument("--adl_eval_dlm_update", action="store_true",
                         help="ADL: replicate the reference's eval-time DLM "
                              "center EMA updates (adl.py:61-77); default "

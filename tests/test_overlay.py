@@ -148,6 +148,21 @@ def test_overlay_probe_losses_are_mask_sensitive():
     assert abs(losses[0].mean() - losses[1].mean()) > 1e-9
 
 
+def test_auto_mode_respects_measured_crossover():
+    """'auto' must keep the full sweep below the measured overlay/full
+    crossover (Amazon vocab included) and switch to overlay past it."""
+    data, cfg, model, params, state = _setup(flat=True)
+    tr = AREADTrainer(model, cfg, data.n_domain)  # default auto, tiny vocab
+    assert not tr.overlay_enabled()
+    big = AREADTrainer(model, cfg, data.n_domain)
+    big.OVERLAY_AUTO_MIN_ELEMS = 1  # pretend the table is past crossover
+    assert big.overlay_enabled()
+    # mesh runs never auto-select overlay
+    tr_mesh = AREADTrainer(model, cfg, data.n_domain, mesh=object())
+    tr_mesh.OVERLAY_AUTO_MIN_ELEMS = 1
+    assert not tr_mesh.overlay_enabled()
+
+
 def test_compact_grad_and_working_set():
     from aread_tpu.ops import overlay_adam as oa
     from aread_tpu.ops.sparse_adam import dedup_rows
