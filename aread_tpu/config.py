@@ -167,15 +167,15 @@ class Config:
     # momentum/decay for set rows untouched on a given step) and probe
     # lookups replay the closed decay-only drift recurrence for rows
     # outside the set — the same chain to float round-off, with cost
-    # independent of table size. MEASURED CROSSOVER (prof_overlay.py,
-    # r5): at Amazon vocab (48.6M table elements) the streamed bf16
-    # sweep costs only 1.77 ms/step, BELOW the overlay's ~6-7 ms
-    # per-batch constant — overlay starts winning ~4x past Amazon scale.
+    # independent of table size. MEASURED CROSSOVER (end-to-end warm
+    # regroups, benchmarks/bench_evolution.py, r5): full-sweep evolution
+    # scales with the table (4.1 s at Amazon vocab, 8.4 s at 4x, 14.3 s
+    # at 8x) while overlay stays FLAT at ~9.8 s -> crossover ~240M table
+    # elements (~5x Amazon; overlay also compiles 2-4x faster there).
     # 'auto' (default): overlay on single-device sparse-grad runs whose
-    # table exceeds that crossover (AREADTrainer.OVERLAY_AUTO_MIN_ELEMS
-    # = 192M elements), full otherwise — so Amazon/AliCCP production
-    # runs keep the sweep and giant-vocab deployments get O(batch)
-    # evolutions automatically.
+    # table exceeds that crossover (AREADTrainer.OVERLAY_AUTO_MIN_ELEMS),
+    # full otherwise — so Amazon/AliCCP production runs keep the sweep
+    # and giant-vocab deployments get O(batch) evolutions automatically.
     hemp_fast_adapt: str = "auto"  # 'auto' | 'overlay' | 'full'
     # storage dtype of the table Adam moments (m, v). 'bfloat16' halves
     # their share of the per-step table sweep (24 -> 16 bytes/element-pass;

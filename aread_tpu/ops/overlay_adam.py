@@ -97,17 +97,37 @@ def compact_grad(ws: jnp.ndarray, uids: jnp.ndarray, gsum: jnp.ndarray,
     (searchsorted + take); TPU scatters at these index counts serialize
     (BASELINE.md DMA-issue row). Working-set rows absent from this batch
     get exact zeros (the decay-only case)."""
-    C = ws.shape[0]
-    D = gsum.shape[1]
-    tids = ws[:, None] * rpf + jnp.arange(rpf, dtype=jnp.int32)[None, :]
-    # method='sort' is load-bearing on TPU: the default 'scan' binary
-    # search measures 50.5 ms for these 348k queries vs 0.6 ms for the
-    # concat-argsort formulation (benchmarks/prof_overlay.py)
-    k = jnp.searchsorted(uids, tids, method="sort")       # [C, rpf]
-    k = jnp.minimum(k, uids.shape[0] - 1)
-    hit = uids[k] == tids
-    vals = jnp.where(hit[..., None], gsum[k], 0.0)        # [C, rpf, D]
-    return vals.reshape(C, rpf * D).astype(jnp.float32)
+    K, D = gsum.shape
+    if rpf == 1:
+        # non-flat storage: one lookup per compact slot. method='sort' is
+        # load-bearing on TPU: the default 'scan' binary search measures
+        # 50.5 ms at these query counts vs 0.6 ms for the concat-argsort
+        # formulation (benchmarks/prof_overlay.py)
+        k = jnp.searchsorted(uids, ws, method="sort")
+        k = jnp.minimum(k, K - 1)
+        hit = (uids[k] == ws)[:, None]
+        return jnp.where(hit, gsum[k], 0.0).astype(jnp.float32)
+    # Flat storage: the uids belonging to one flat row are CONTIGUOUS in
+    # the sorted uids (tid = f*rpf + j), so one searchsorted of [C]
+    # queries finds each slot's run start and rpf pad-free [C, 128]
+    # gathers from a lane-spread [K, 128] source assemble the block —
+    # the earlier per-(slot, lane-group) formulation gathered a
+    # lane-PADDED [C, rpf, D] intermediate (TPU pads minor dims to 128
+    # lanes, 4x bloat at D=32) and measured 6.1 ms vs ~2.5 here.
+    # Summands occupy disjoint lane groups, so the adds are exact.
+    # sentinel uids (= n_rows, a multiple of rpf) land in group 0 with
+    # all-zero gsum rows — harmless
+    grp = uids % rpf
+    one = (grp[:, None] == jnp.arange(rpf, dtype=jnp.int32)[None, :])
+    gspread = (one[:, :, None].astype(gsum.dtype)
+               * gsum[:, None, :]).reshape(K, rpf * D)     # [K, 128]
+    lo = jnp.searchsorted(uids, ws * rpf, method="sort")   # [C]
+    cg = jnp.zeros((ws.shape[0], rpf * D), jnp.float32)
+    for j in range(rpf):
+        kk = jnp.minimum(lo + j, K - 1)
+        valid = (uids[kk] // rpf) == ws
+        cg = cg + jnp.where(valid[:, None], gspread[kk], 0.0)
+    return cg
 
 
 def overlay_adam_step(wvals, wm, wv, cgrad, t, lr: float, wd: float,

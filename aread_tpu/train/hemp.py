@@ -93,16 +93,16 @@ class AREADTrainer:
         self.step_timer = profiling.StepTimer()
 
     # hemp_fast_adapt='auto' crossover, in TABLE ELEMENTS (n_rows * E).
-    # Measured on the v5e (benchmarks/prof_overlay.py, r5): at Amazon
-    # scale (48.6M elements) the full path's per-adapt-step table cost is
-    # the 1.77 ms streamed bf16 sweep, while the overlay's compact-path
-    # extra is ~6-7 ms (compact_grad 6.1 ms — dominated by the
-    # lane-padded [C, rpf, D] gather — + adam 0.8 + lookup 0.6), so
-    # overlay LOSES below ~4x Amazon vocab and only wins where the
-    # O(table) sweep dominates its O(batch) constant. The sweep scales
-    # linearly with elements; the overlay cost is scale-free =>
-    # crossover ~ 190M elements.
-    OVERLAY_AUTO_MIN_ELEMS = 192_000_000
+    # Measured END TO END on the v5e (benchmarks/bench_evolution.py, r5:
+    # one warm production-cadence regroup, 225 chains of 5 adapt + 5
+    # probe steps): full-sweep evolution scales linearly with the table —
+    # 4.1 s at Amazon vocab (48.6M elements), 8.4 s at 4x, 14.3 s at 8x —
+    # while the overlay evolution is FLAT at ~9.8 s (its per-batch
+    # constant: compact_grad 1.44 ms + compact Adam 0.74 + overlay
+    # lookups ~0.6/call, benchmarks/prof_overlay.py). Linear
+    # interpolation puts the crossover at ~240M elements (~5x Amazon);
+    # overlay also compiles 2-4x faster there (34 s vs 72-145 s).
+    OVERLAY_AUTO_MIN_ELEMS = 240_000_000
 
     def overlay_enabled(self) -> bool:
         """Resolve config.hemp_fast_adapt for this run (see config.py):
