@@ -120,6 +120,10 @@ class AREAD(CTRModel):
                         "domain_mask_final", "batch_with_mask")
         # per-example masks: every dm array gains a leading [B] dim
         per_ex = mode == "batch_with_mask"
+        # serving-only: with train=True the per-tower BN stat gating
+        # (tower_gate) is undefined per-example — ungated updates would
+        # fold mask-zeroed rows into running stats
+        assert not (per_ex and train), "batch_with_mask is eval-only"
         embedding, linear = self._backbone(self.spec, self.embed_dim)
         embed_x = embedding(x)
         domain_embed = embed_x[:, self.spec.domain_idx, :]

@@ -50,7 +50,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from aread_tpu.ops.pallas.fused_adam import reference_adam_update
 
@@ -58,15 +57,13 @@ LANES = 128
 
 
 def _table_ids(spec, x) -> jnp.ndarray:
-    """Logical table rows a batch gathers (offsets + clip exactly like
-    the forward path, trainer.embedding_flat_ids)."""
-    from aread_tpu.ops.embedding import compute_offsets
-
-    offsets = compute_offsets(spec.one_hot_dims,
-                              spec.n_seq_fields * spec.seq_maxlen,
-                              spec.itemid_idx)
-    n_rows = int(np.sum(spec.one_hot_dims))
-    return jnp.clip(x + jnp.asarray(offsets, dtype=x.dtype), 0, n_rows - 1)
+    """Logical table rows a batch gathers — delegates to the ONE
+    canonical id mapping (trainer.embedding_flat_ids, same offsets+clip
+    as the forward path) so the working set can never drift from what
+    the model actually gathers. Lazy import: ops must not depend on
+    train at module load."""
+    from aread_tpu.train.trainer import embedding_flat_ids
+    return embedding_flat_ids(spec, x)
 
 
 def build_working_set(spec, rpf: int, xs) -> jnp.ndarray:
@@ -116,11 +113,14 @@ def compact_grad(ws: jnp.ndarray, uids: jnp.ndarray, gsum: jnp.ndarray,
     # lanes, 4x bloat at D=32) and measured 6.1 ms vs ~2.5 here.
     # Summands occupy disjoint lane groups, so the adds are exact.
     # sentinel uids (= n_rows, a multiple of rpf) land in group 0 with
-    # all-zero gsum rows — harmless
+    # all-zero gsum rows — harmless. Pad-free build (tile + lane mask),
+    # same trick as pack_meta's gfull: the one-hot outer-product form
+    # materializes a [K, rpf, D] intermediate that TPU lane-pads 4x and
+    # then pays a relayout on the reshape.
     grp = uids % rpf
-    one = (grp[:, None] == jnp.arange(rpf, dtype=jnp.int32)[None, :])
-    gspread = (one[:, :, None].astype(gsum.dtype)
-               * gsum[:, None, :]).reshape(K, rpf * D)     # [K, 128]
+    lanes = jnp.arange(rpf * D, dtype=jnp.int32) // D      # lane -> group
+    sel = grp[:, None] == lanes[None, :]                   # [K, 128]
+    gspread = jnp.where(sel, jnp.tile(gsum, (1, rpf)), 0).astype(gsum.dtype)
     lo = jnp.searchsorted(uids, ws * rpf, method="sort")   # [C]
     cg = jnp.zeros((ws.shape[0], rpf * D), jnp.float32)
     for j in range(rpf):

@@ -91,6 +91,10 @@ class AREADTrainer:
         self._fits_idx = None
         self._device_data = None  # (dxc, dyc, aug_offset) HBM split
         self.step_timer = profiling.StepTimer()
+        # fail fast on hemp_fast_adapt misconfiguration (unknown value,
+        # 'overlay' on a mesh / without sparse grads) — the first use is
+        # otherwise the first regroup, a whole warm-up epoch in
+        self.overlay_enabled()
 
     # hemp_fast_adapt='auto' crossover, in TABLE ELEMENTS (n_rows * E).
     # Measured END TO END on the v5e (benchmarks/bench_evolution.py, r5:
@@ -325,9 +329,14 @@ class AREADTrainer:
 
             def probe(item):
                 batch = materialize(extra, item)
-                out = apply_model({"params": params, **state}, batch["x"],
-                                  domain_mask=mask, mode="domain_with_mask",
-                                  train=False)
+                # same compute_dtype context the adapt steps (step_core)
+                # and the overlay engine's probes run under — keeps both
+                # engines' candidate scoring consistent at bf16 compute
+                from aread_tpu.train.trainer import matmul_precision_ctx
+                with matmul_precision_ctx(cfg.compute_dtype):
+                    out = apply_model({"params": params, **state},
+                                      batch["x"], domain_mask=mask,
+                                      mode="domain_with_mask", train=False)
                 prob = jnp.clip(out["prob"], 1e-7, 1 - 1e-7)
                 return masked_mean(-(batch["y"] * jnp.log(prob)
                                      + (1 - batch["y"]) * jnp.log1p(-prob)),
@@ -401,15 +410,18 @@ class AREADTrainer:
             n_rows = int(np.sum(spec.one_hot_dims))
             rpf = (128 // embed_dim) if spec.flat_table else 1
             S = jax.tree_util.tree_leaves(fa_items)[0].shape[0]
-            xs = jax.vmap(lambda it: materialize(extra, it)["x"])(fa_items)
-            ws = oa.build_working_set(spec, rpf, xs)
+            # materialize all S adapt batches ONCE: the working set needs
+            # their x up front, and the scan then consumes the same
+            # arrays instead of re-gathering from the HBM split
+            fa_batches = jax.vmap(lambda it: materialize(extra, it))(
+                fa_items)
+            ws = oa.build_working_set(spec, rpf, fa_batches["x"])
             wvals0, wm0, wv0 = oa.overlay_init(table0, ws)
             hyper = dict(lr=cfg.update_lr, wd=cfg.wd, l2=TABLE_L2)
 
-            def body(carry, item):
+            def body(carry, batch):
                 rest, wvals, wm, wv, inner, t, state, mask, rng = carry
                 rng, srng = jax.random.split(rng)
-                batch = materialize(extra, item)
 
                 def lf(rest_p, pert):
                     with lookup_override(_p(oa.overlay_gather, ws=ws,
@@ -448,7 +460,7 @@ class AREADTrainer:
             carry0 = (rest0, wvals0, wm0, wv0, fast_opt.init(rest0),
                       jnp.zeros((), jnp.int32), state0, mask0, rng)
             (rest, wvals, _, _, _, _, state, mask, _), _ = jax.lax.scan(
-                body, carry0, fa_items)
+                body, carry0, fa_batches)
 
             def probe(item):
                 batch = materialize(extra, item)

@@ -138,9 +138,9 @@ def load_config() -> Config:
                              "whole table per chain step (the direct "
                              "reference replication); 'auto' (default) "
                              "picks by the measured crossover — full up "
-                             "to ~4x Amazon vocab where the streamed "
+                             "to ~5x Amazon vocab where the streamed "
                              "bf16 sweep is cheaper, overlay beyond "
-                             "(192M table elements; BASELINE.md)")
+                             "(240M table elements; BASELINE.md)")
     parser.add_argument("--adl_eval_dlm_update", action="store_true",
                         help="ADL: replicate the reference's eval-time DLM "
                              "center EMA updates (adl.py:61-77); default "
