@@ -161,6 +161,32 @@ def test_auto_mode_respects_measured_crossover():
     tr_mesh = AREADTrainer(model, cfg, data.n_domain, mesh=object())
     tr_mesh.OVERLAY_AUTO_MIN_ELEMS = 1
     assert not tr_mesh.overlay_enabled()
+    # misconfiguration fails fast at CONSTRUCTION, not at the first
+    # regroup a warm-up epoch in
+    with pytest.raises(ValueError):
+        AREADTrainer(model,
+                     dataclasses.replace(cfg, hemp_fast_adapt="overlay"),
+                     data.n_domain, mesh=object())
+    with pytest.raises(ValueError):
+        AREADTrainer(model,
+                     dataclasses.replace(cfg, hemp_fast_adapt="typo"),
+                     data.n_domain)
+
+
+def test_batch_with_mask_is_eval_only():
+    """train=True under per-example masks would update BN running stats
+    ungated (tower_gate undefined per-example) — must refuse."""
+    data, cfg, model, params, state = _setup(flat=True)
+    from aread_tpu.models.aread import full_mask
+    fm = full_mask(N_TOWER)
+    x = jnp.asarray(data.train_x[:8])
+    dm = tuple(jnp.asarray(np.asarray(m, bool))[None].repeat(8, 0)
+               for m in fm)
+    with pytest.raises(AssertionError):
+        model.apply({"params": params, **state}, x, domain_mask=dm,
+                    mode="batch_with_mask", train=True,
+                    mutable=list(state.keys()),
+                    rngs={"dropout": jax.random.PRNGKey(0)})
 
 
 def test_compact_grad_and_working_set():
